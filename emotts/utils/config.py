@@ -1,0 +1,305 @@
+"""Typed configuration tree for the whole framework.
+
+One source of truth replacing the reference's two hand-destructured YAML files
+(``rank_model/parameter.yaml`` and ``fastspeech2/parameter.yaml`` under
+/root/reference/emo_rank_tts/, which duplicate the audio/preprocessing
+blocks).  Any field can be overridden from YAML and from ``--a.b.c=value``
+CLI arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, List, Optional
+
+import yaml
+
+
+@dataclass
+class AudioConfig:
+    """Audio analysis parameters (reference: rank_model/parameter.yaml:28-35)."""
+
+    sampling_rate: int = 16000
+    hop_length: int = 256
+    win_length: int = 1024
+    n_fft: int = 1024
+    n_mels: int = 80
+    f_min: float = 0.0
+    f_max: float = 8000.0
+    # log-compression floor used by the mel frontend (torchaudio convention)
+    clip_val: float = 1e-5
+
+
+@dataclass
+class DataConfig:
+    """Corpus layout and preprocessing switches
+    (reference: rank_model/parameter.yaml:4-23)."""
+
+    data_path: str = "data/EmoV-DB"
+    corpus_path: str = "data/mfa/corpus"
+    textgrid_path: str = "data/mfa/aligned"
+    preprocessed_path: str = "data/preprocessed"
+    experiment_path: str = "experiments"
+    noise_symbol: str = " [noise] "
+    speakers: List[str] = field(default_factory=lambda: ["bea", "jenie", "josh", "sam"])
+    emotions: List[str] = field(
+        default_factory=lambda: ["neutral", "amused", "angry", "disgusted", "sleepy"]
+    )
+    sil_phones: List[str] = field(default_factory=lambda: ["sil", "spn", "sp", ""])
+    pitch_averaging: bool = False
+    energy_averaging: bool = False
+    match_transcript: bool = False
+    # deterministic split seeds (the reference used unseeded random.sample /
+    # random.shuffle — SURVEY.md §3.6-B5; we fix that)
+    split_seed: int = 42
+    # pairing fan-out: each emotional utterance is paired with K random
+    # neutral utterances (reference: rank_model/preprocess.py:215)
+    neutral_pairs_per_utt: int = 10
+    test_utts_per_emotion: int = 5
+    fs2_train_fraction: float = 0.8
+
+
+@dataclass
+class BucketingConfig:
+    """Static-shape bucketing (TPU replacement for per-batch max_T padding)."""
+
+    # mel-frame length buckets; an utterance pads up to the smallest bucket
+    # that fits.  Keeps the number of XLA compilations small and static.
+    frame_buckets: List[int] = field(default_factory=lambda: [192, 320, 512, 768, 1024])
+    phone_buckets: List[int] = field(default_factory=lambda: [48, 96, 144, 192])
+    drop_overflow: bool = True  # drop utterances longer than the largest bucket
+
+
+@dataclass
+class RankModelConfig:
+    """IntensityExtractor / RankModel (reference: rank_model/parameter.yaml:52-59)."""
+
+    n_encoder_layers: int = 6
+    n_heads: int = 2
+    hidden_dim: int = 384
+    kernel_size: int = 9
+    ffn_mult: int = 4  # conv-FFN expansion (hidden_dim * 4 = 1536)
+    dropout: float = 0.1
+    alpha: float = 0.1  # mixup-CE loss weight
+    beta: float = 1.0  # ranking loss weight
+
+
+@dataclass
+class FastSpeech2Config:
+    """FastSpeech2 acoustic model (reference: fastspeech2/parameter.yaml:62-90)."""
+
+    enc_num_layers: int = 6
+    enc_num_head: int = 2
+    enc_d_model: int = 384
+    enc_ffn_dim: int = 1536
+    enc_dropout: float = 0.1
+    dec_num_layers: int = 6
+    dec_num_head: int = 2
+    dec_d_model: int = 384
+    dec_ffn_dim: int = 1536
+    dec_dropout: float = 0.1
+    normalize_before: bool = False
+    ffn_kernel_sizes: List[int] = field(default_factory=lambda: [9, 1])
+    n_char: int = 95
+    n_mels: int = 80
+    postnet_embedding_dim: int = 512
+    postnet_kernel_size: int = 5
+    postnet_n_convolutions: int = 5
+    postnet_dropout: float = 0.5
+    padding_idx: int = 0
+    dur_pred_kernel_size: int = 3
+    pitch_pred_kernel_size: int = 3
+    energy_pred_kernel_size: int = 3
+    variance_predictor_dropout: float = 0.5
+    # dim of the frame/phone-level intensity conditioning vector (== n_emotions;
+    # the reference hard-codes 5 at fastspeech2/model.py:201 and has a
+    # mismatched zeros(1,T,256) at inference — SURVEY.md §3.6-B2.  We derive it.)
+    intensity_dim: int = 5
+    # capacity of the length-regulated frame grid at inference time
+    max_mel_len: int = 1024
+
+
+@dataclass
+class LossConfig:
+    """FS2 composite loss weights (reference: fastspeech2/parameter.yaml:96-106)."""
+
+    log_scale_durations: bool = True
+    ssim_loss_weight: float = 1.0
+    duration_loss_weight: float = 1.0
+    pitch_loss_weight: float = 1.0
+    energy_loss_weight: float = 1.0
+    mel_loss_weight: float = 1.0
+    postnet_mel_loss_weight: float = 1.0
+
+
+@dataclass
+class TrainConfig:
+    """Optimization loop settings (reference: */parameter.yaml train blocks)."""
+
+    n_epochs: int = 20
+    max_iterations: int = 80_000
+    batch_size: int = 8
+    learning_rate: float = 1e-6
+    weight_decay: float = 1e-2  # AdamW default (torch.optim.AdamW)
+    patience: int = 5
+    seed: int = 42
+    # numerics: bf16 matmuls with fp32 params/accumulation; 'float32' gives
+    # the exact-parity mode used by tests.
+    compute_dtype: str = "bfloat16"
+    checkpoint_every_steps: int = 500
+    keep_checkpoints: int = 3
+    log_every_steps: int = 50
+
+
+@dataclass
+class MeshConfig:
+    """Device-mesh layout.  Data parallelism over ICI is the only parallelism
+    worth being first-class at this model scale (SURVEY.md §2.3)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    # -1 means "all available devices" on the data axis
+    data_parallel: int = -1
+    model_parallel: int = 1
+
+
+@dataclass
+class InferenceConfig:
+    """Bucketization & synthesis (reference: */parameter.yaml inference blocks)."""
+
+    rank_exp: str = "exp_1"
+    fs2_exp: str = "exp_1"
+    bucket_size: int = 3
+    text: str = "gregson was asleep when he re-entered the cabin."
+    vocoder_checkpoint: str = ""  # path to a converted HiFi-GAN checkpoint
+    lexicon_path: str = ""  # optional CMUdict-format lexicon for G2P
+    output_path: str = "demo"
+
+
+@dataclass
+class Config:
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    bucketing: BucketingConfig = field(default_factory=BucketingConfig)
+    rank_model: RankModelConfig = field(default_factory=RankModelConfig)
+    fastspeech2: FastSpeech2Config = field(default_factory=FastSpeech2Config)
+    loss: LossConfig = field(default_factory=LossConfig)
+    train_rank: TrainConfig = field(default_factory=TrainConfig)
+    train_fs2: TrainConfig = field(
+        default_factory=lambda: TrainConfig(
+            n_epochs=1000, max_iterations=250_000, learning_rate=1e-4
+        )
+    )
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    inference: InferenceConfig = field(default_factory=InferenceConfig)
+
+    @property
+    def n_speakers(self) -> int:
+        return len(self.data.speakers)
+
+    @property
+    def n_emotions(self) -> int:
+        return len(self.data.emotions)
+
+
+# --------------------------------------------------------------------------
+# construction / override machinery
+# --------------------------------------------------------------------------
+
+
+def _build(cls, raw: dict):
+    """Recursively build a dataclass from a nested dict, erroring on unknown keys."""
+    if raw is None:
+        raw = {}
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = set(raw) - set(fields)
+    if unknown:
+        raise KeyError(f"unknown config keys for {cls.__name__}: {sorted(unknown)}")
+    kwargs = {}
+    for name, f in fields.items():
+        if name not in raw:
+            continue
+        val = raw[name]
+        if dataclasses.is_dataclass(f.type) or (
+            isinstance(f.type, str) and f.type[0].isupper()
+        ):
+            sub_cls = _resolve_field_type(cls, name)
+            if dataclasses.is_dataclass(sub_cls) and isinstance(val, dict):
+                kwargs[name] = _build(sub_cls, val)
+                continue
+        kwargs[name] = val
+    return cls(**kwargs)
+
+
+def _resolve_field_type(cls, name):
+    import typing
+
+    hints = typing.get_type_hints(cls)
+    return hints.get(name)
+
+
+def _parse_scalar(s: str) -> Any:
+    """Parse a CLI override value with YAML semantics ('true', '1e-4', '[a,b]')."""
+    try:
+        val = yaml.safe_load(s)
+    except yaml.YAMLError:
+        return s
+    # YAML 1.1 only accepts '1.0e-3'-style floats; accept '1e-3' too
+    if isinstance(val, str):
+        try:
+            return float(val)
+        except ValueError:
+            return val
+    return val
+
+
+def _set_dotted(cfg: Any, dotted: str, value: Any) -> None:
+    parts = dotted.split(".")
+    obj = cfg
+    for p in parts[:-1]:
+        if not hasattr(obj, p):
+            raise KeyError(f"no config section '{p}' in override '{dotted}'")
+        obj = getattr(obj, p)
+    leaf = parts[-1]
+    if not dataclasses.is_dataclass(obj) or leaf not in {
+        f.name for f in dataclasses.fields(obj)
+    }:
+        raise KeyError(f"no config field '{leaf}' in override '{dotted}'")
+    setattr(obj, leaf, value)
+
+
+def load_config(
+    yaml_path: Optional[str] = None, overrides: Optional[List[str]] = None
+) -> Config:
+    """Build a Config from (optional) YAML file + ``a.b.c=value`` overrides."""
+    raw = {}
+    if yaml_path:
+        raw = yaml.safe_load(Path(yaml_path).read_text()) or {}
+    cfg = _build(Config, raw)
+    for ov in overrides or []:
+        ov = ov.lstrip("-")
+        if "=" not in ov:
+            raise ValueError(f"override must look like a.b.c=value, got '{ov}'")
+        key, val = ov.split("=", 1)
+        _set_dotted(cfg, key, _parse_scalar(val))
+    return cfg
+
+
+def config_to_dict(cfg: Any) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def save_config(cfg: Config, path: str) -> None:
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Path(path).write_text(yaml.safe_dump(config_to_dict(cfg), sort_keys=False))
+
+
+def config_fingerprint(cfg: Config) -> str:
+    """Stable hash of the full config tree, for experiment bookkeeping."""
+    import hashlib
+
+    blob = json.dumps(config_to_dict(cfg), sort_keys=True).encode()
+    return hashlib.sha256(blob).hexdigest()[:12]
