@@ -18,9 +18,11 @@ from typing import Any, List, Optional
 import yaml
 
 
-@dataclass
+@dataclass(unsafe_hash=True)
 class AudioConfig:
-    """Audio analysis parameters (reference: rank_model/parameter.yaml:28-35)."""
+    """Audio analysis parameters (reference: rank_model/parameter.yaml:28-35).
+
+    Hashable so it can be a jit static argument."""
 
     sampling_rate: int = 16000
     hop_length: int = 256

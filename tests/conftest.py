@@ -7,7 +7,9 @@ benchmarking happens via bench.py).  Must run before jax is imported.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the environment presets JAX_PLATFORMS=axon (the real TPU tunnel); tests
+# must run hermetically on CPU, so force-override rather than setdefault
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
