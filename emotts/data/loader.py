@@ -1,0 +1,128 @@
+"""Bucketed, prefetching batch loader.
+
+The TPU-shaped replacement for the reference's
+``DataLoader(num_workers=4, collate_fn=...)`` (rank_model/train.py:208,
+fastspeech2/train.py:204-211): examples are grouped by length bucket so
+every batch has one of a small, fixed set of shapes (one XLA compilation per
+bucket), shuffling is seeded per epoch, and a background thread keeps a
+prefetch queue full so host collation overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+class BucketLoader:
+    """Iterates fixed-shape batches grouped by length bucket.
+
+    Args:
+      dataset: indexable with __len__, __getitem__, and length_of(idx).
+      buckets: ascending length buckets; examples longer than the largest
+        are dropped (drop_overflow) or clamped into it.
+      batch_size: examples per batch.
+      collate: fn(examples, bucket) -> batch dict.
+      shuffle: reshuffle example order each epoch (seeded).
+      drop_last: drop trailing partial batches (keeps shapes static for jit).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        buckets: Sequence[int],
+        batch_size: int,
+        collate: Callable,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        drop_overflow: bool = True,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.buckets = sorted(buckets)
+        self.batch_size = batch_size
+        self.collate = collate
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.drop_overflow = drop_overflow
+        self.prefetch = prefetch
+        self._lengths: Optional[List[int]] = None
+
+    def _bucket_of(self, length: int) -> int:
+        for b in self.buckets:
+            if length <= b:
+                return b
+        return -1 if self.drop_overflow else self.buckets[-1]
+
+    def _ensure_lengths(self):
+        if self._lengths is None:
+            self._lengths = [self.dataset.length_of(i) for i in range(len(self.dataset))]
+
+    def plan_epoch(self, epoch: int) -> List[List[int]]:
+        """Deterministic batch plan: shuffle, group by bucket, chunk."""
+        self._ensure_lengths()
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch)
+            rng.shuffle(order)
+        groups: Dict[int, List[int]] = {}
+        for idx in order:
+            b = self._bucket_of(self._lengths[idx])
+            if b < 0:
+                continue
+            groups.setdefault(b, []).append(int(idx))
+        batches: List[List[int]] = []
+        for b, idxs in groups.items():
+            for i in range(0, len(idxs), self.batch_size):
+                chunk = idxs[i : i + self.batch_size]
+                if len(chunk) < self.batch_size and self.drop_last:
+                    continue
+                batches.append(chunk)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed * 7919 + epoch)
+            rng.shuffle(batches)
+        return batches
+
+    def batches_per_epoch(self, epoch: int = 0) -> int:
+        return len(self.plan_epoch(epoch))
+
+    def _make_batch(self, idxs: List[int]):
+        examples = [self.dataset[i] for i in idxs]
+        self._ensure_lengths()
+        bucket = self._bucket_of(max(self._lengths[i] for i in idxs))
+        return self.collate(examples, bucket)
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield collated batches with background prefetch."""
+        plan = self.plan_epoch(epoch)
+        if not plan:
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error_holder = {}
+
+        def producer():
+            try:
+                for idxs in plan:
+                    q.put(self._make_batch(idxs))
+            except Exception as e:  # surfaced in the consumer
+                error_holder["error"] = e
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()
+        if "error" in error_holder:
+            raise error_holder["error"]

