@@ -1,0 +1,61 @@
+"""Train state: params + optimizer + step + PRNG key.
+
+Unlike the reference's weights-only ``torch.save(model.state_dict())``
+(SURVEY.md §5: no optimizer state, step counter, or RNG state anywhere), the
+full state checkpoints here, making training preemption-safe and exactly
+resumable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from emotts.utils.config import TrainConfig
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray  # () int32
+    params: Any
+    opt_state: Any
+    rng: jax.Array  # base PRNG key; per-step keys are folded in
+    batch_stats: Any = None  # for models with BatchNorm (PostNet)
+
+    def next_rngs(self, *names: str):
+        """Per-step RNG streams derived from (base key, step)."""
+        key = jax.random.fold_in(self.rng, self.step)
+        keys = jax.random.split(key, len(names))
+        return dict(zip(names, keys))
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """AdamW with torch-default hyperparameters (betas 0.9/0.999, eps 1e-8,
+    decoupled weight decay; reference uses torch.optim.AdamW at
+    rank_model/train.py:223 and fastspeech2/train.py:232)."""
+    return optax.adamw(
+        learning_rate=cfg.learning_rate,
+        b1=0.9,
+        b2=0.999,
+        eps=1e-8,
+        weight_decay=cfg.weight_decay,
+    )
+
+
+def create_train_state(
+    params: Any,
+    tx: optax.GradientTransformation,
+    seed: int,
+    batch_stats: Any = None,
+) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        rng=jax.random.PRNGKey(seed),
+        batch_stats=batch_stats,
+    )

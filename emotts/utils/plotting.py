@@ -1,0 +1,131 @@
+"""Plotting / qualitative-artifact helpers.
+
+Same artifact set as the reference's observability layer (SURVEY.md §5):
+mel-spectrogram images (rank_model/util.py:10-48), pred-vs-GT mel grids
+(fastspeech2/util.py:57-87), and t-SNE scatter of pooled intensity features
+colored by emotion and marked by speaker (rank_model/train.py:128-171).
+Matplotlib is imported lazily with the Agg backend so headless runs work.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_melspectrogram(mel: np.ndarray, save_path: str, title: str = "Mel") -> None:
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(10, 4))
+    im = ax.imshow(mel, aspect="auto", origin="lower", interpolation="none")
+    ax.set_xlabel("frames")
+    ax.set_ylabel("mel bins")
+    ax.set_title(title)
+    fig.colorbar(im, ax=ax)
+    fig.tight_layout()
+    fig.savefig(save_path, bbox_inches="tight")
+    plt.close(fig)
+
+
+def plot_mel_grid(
+    pred: np.ndarray,  # (N, T, n_mels)
+    target: np.ndarray,
+    save_path: str,
+    max_each: int = 8,
+) -> None:
+    """4×4 grid: predictions (top half) vs ground truth (bottom half)."""
+    plt = _plt()
+    pred = pred[:max_each]
+    target = target[:max_each]
+    mels = np.concatenate([pred, target], axis=0)
+    n = len(mels)
+    rows = max(1, (n + 3) // 4)
+    fig, axes = plt.subplots(rows, 4, figsize=(16, 2.5 * rows), squeeze=False)
+    for i, ax in enumerate(axes.flatten()):
+        if i >= n:
+            ax.axis("off")
+            continue
+        ax.imshow(mels[i].T, aspect="auto", origin="lower", interpolation="none")
+        label = f"Pred {i + 1}" if i < len(pred) else f"GT {i - len(pred) + 1}"
+        ax.text(0.95, 0.95, label, ha="right", va="top", transform=ax.transAxes,
+                fontsize=11, fontweight="bold",
+                color="tab:blue" if i < len(pred) else "tab:red")
+    fig.tight_layout()
+    fig.savefig(save_path, bbox_inches="tight", dpi=150)
+    plt.close(fig)
+
+
+def plot_tsne(
+    features: np.ndarray,  # (N, D) pooled intensity features
+    emotions: np.ndarray,  # (N,) int labels
+    speakers: np.ndarray,  # (N,) int labels
+    alphas: Optional[np.ndarray],
+    emotion_names: Sequence[str],
+    speaker_names: Sequence[str],
+    colors: Sequence[str],
+    markers: Sequence[str],
+    save_path: str,
+) -> bool:
+    """t-SNE scatter of intensity features; returns False if sklearn is
+    unavailable or there are too few points."""
+    if len(features) < 8:
+        return False
+    try:
+        from sklearn.manifold import TSNE
+    except Exception:
+        return False
+    plt = _plt()
+    perplexity = min(30.0, max(2.0, len(features) / 4 - 1))
+    pts = TSNE(n_components=2, perplexity=perplexity, init="random").fit_transform(
+        features
+    )
+    if alphas is None:
+        alphas = np.ones(len(features))
+    fig, ax = plt.subplots(figsize=(10, 10))
+    for e in range(len(emotion_names)):
+        for s in range(len(speaker_names)):
+            mask = (emotions == e) & (speakers == s)
+            if not mask.any():
+                continue
+            ax.scatter(
+                pts[mask, 0], pts[mask, 1],
+                c=colors[e % len(colors)], marker=markers[s % len(markers)],
+                s=15, alpha=np.minimum(1.0, alphas[mask] + 0.1),
+            )
+    from matplotlib.lines import Line2D
+    import matplotlib.patches as mpatches
+
+    handles_e = [
+        mpatches.Patch(color=colors[i % len(colors)], label=emotion_names[i])
+        for i in range(len(emotion_names))
+    ]
+    handles_s = [
+        Line2D([], [], color="black", marker=markers[i % len(markers)],
+               linestyle="None", label=speaker_names[i])
+        for i in range(len(speaker_names))
+    ]
+    leg1 = ax.legend(handles=handles_e, title="Emotion", loc="upper left",
+                     bbox_to_anchor=(1.02, 1))
+    ax.add_artist(leg1)
+    ax.legend(handles=handles_s, title="Speaker", loc="upper left",
+              bbox_to_anchor=(1.02, 0.6))
+    ax.set_title("t-SNE of pooled intensity features")
+    ax.grid(True, linestyle="--", alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(save_path, bbox_inches="tight")
+    plt.close(fig)
+    return True
+
+
+DEFAULT_COLORS = ["#7C00FE", "#F9E400", "#FFAF00", "#F5004F", "#00B2A9"]
+DEFAULT_MARKERS = ["o", "^", "s", "d"]
