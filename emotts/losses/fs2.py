@@ -1,0 +1,166 @@
+"""FastSpeech2 composite loss: masked MSEs + SSIM — fully vectorized.
+
+Replicates the reference's loss semantics (fastspeech2/loss.py:62-185) with
+its O(B) Python loop replaced by masked reductions, preserving the exact
+*per-sample-mean-then-batch-mean* weighting (torch MSELoss('mean') over each
+sample's valid slice, then ÷B).
+
+Deliberate fixes vs the reference (documented per SURVEY.md §3.6):
+* B3: phone-level pitch/energy predictions are masked with ``phon_len``
+  (the reference slices them with mel_length, silently averaging padding).
+* Pitch/energy targets are the duration-averaged phone-level tracks the
+  model computes (`avg_pitch`/`avg_energy`), as in the reference
+  (fastspeech2/loss.py:104-105).
+
+SSIM follows the standard masked formulation used by the reference's
+SSIMLoss dependency: per-sample min-max normalization over the valid region,
+11×11 Gaussian window (σ=1.5), C1=(0.01)², C2=(0.03)² at data range 1,
+loss = 1 − mean SSIM over valid frames, clamped to [0, 1].
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from emotts.utils.config import LossConfig
+
+
+def _masked_per_sample_mse(
+    pred: jnp.ndarray, target: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-sample masked MSE, then batch mean.
+
+    pred/target: (B, T) or (B, T, C); valid: (B, T) bool."""
+    if pred.ndim == 3:
+        mask = valid[..., None].astype(pred.dtype)
+        per_elem = (pred - target) ** 2 * mask
+        denom = valid.sum(axis=1).astype(pred.dtype) * pred.shape[-1]
+        per_sample = per_elem.sum(axis=(1, 2)) / jnp.maximum(denom, 1.0)
+    else:
+        mask = valid.astype(pred.dtype)
+        per_elem = (pred - target) ** 2 * mask
+        denom = valid.sum(axis=1).astype(pred.dtype)
+        per_sample = per_elem.sum(axis=1) / jnp.maximum(denom, 1.0)
+    return per_sample.mean()
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    g = np.exp(-((np.arange(size) - size // 2) ** 2) / (2 * sigma**2))
+    g /= g.sum()
+    return np.outer(g, g).astype(np.float32)  # (size, size)
+
+
+def _ssim_map(x: jnp.ndarray, y: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """SSIM map over (B, H, W) images with a 2-D window (valid same-padding)."""
+    k = kernel[None, None]  # (1, 1, kh, kw) OIHW
+
+    def filt(img):
+        return lax.conv_general_dilated(
+            img[:, None],  # (B, 1, H, W) NCHW
+            k,
+            window_strides=(1, 1),
+            padding="SAME",
+        )[:, 0]
+
+    c1, c2 = 0.01**2, 0.03**2
+    mu_x, mu_y = filt(x), filt(y)
+    sigma_x = filt(x * x) - mu_x**2
+    sigma_y = filt(y * y) - mu_y**2
+    sigma_xy = filt(x * y) - mu_x * mu_y
+    num = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
+    den = (mu_x**2 + mu_y**2 + c1) * (sigma_x + sigma_y + c2)
+    return num / den
+
+
+def _sample_minmax_norm(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Min-max normalize each sample over its valid frames → [0, 1]."""
+    big = jnp.asarray(3e38, x.dtype)
+    m = valid[..., None]
+    mn = jnp.min(jnp.where(m, x, big), axis=(1, 2), keepdims=True)
+    mx = jnp.max(jnp.where(m, x, -big), axis=(1, 2), keepdims=True)
+    out = (x - mn) / jnp.maximum(mx - mn, 1e-8)
+    return jnp.where(m, out, 0.0)
+
+
+_SSIM_KERNEL = _gaussian_kernel()
+
+
+def ssim_loss(
+    pred: jnp.ndarray, target: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
+    """1 − masked-mean SSIM over (B, T, n_mels) mels, clamped to [0, 1]."""
+    kernel = jnp.asarray(_SSIM_KERNEL, pred.dtype)
+    x = _sample_minmax_norm(pred, valid)
+    y = _sample_minmax_norm(target, valid)
+    smap = _ssim_map(x, y, kernel)  # (B, T, n_mels)
+    m = valid[..., None].astype(pred.dtype)
+    valid_pixels = valid.sum().astype(pred.dtype) * pred.shape[-1]
+    mean_ssim = (smap * m).sum() / jnp.maximum(valid_pixels, 1.0)
+    return jnp.clip(1.0 - mean_ssim, 0.0, 1.0)
+
+
+def fs2_loss(
+    predictions: Tuple[jnp.ndarray, ...],
+    mel_target: jnp.ndarray,  # (B, T, n_mels)
+    target_durations: jnp.ndarray,  # (B, P) int
+    mel_len: jnp.ndarray,  # (B,)
+    phon_len: jnp.ndarray,  # (B,)
+    cfg: Optional[LossConfig] = None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    cfg = cfg or LossConfig()
+    (
+        mel_out,
+        postnet_mel_out,
+        log_durations,
+        pred_pitch,
+        avg_pitch,
+        pred_energy,
+        avg_energy,
+        _mel_lens,
+    ) = predictions
+
+    t = mel_target.shape[1]
+    p = log_durations.shape[1]
+    frame_valid = jnp.arange(t)[None, :] < mel_len[:, None]
+    phone_valid = jnp.arange(p)[None, :] < phon_len[:, None]
+
+    mel_l = _masked_per_sample_mse(mel_out, mel_target, frame_valid)
+    postnet_l = _masked_per_sample_mse(postnet_mel_out, mel_target, frame_valid)
+
+    log_tgt_dur = (
+        jnp.log1p(target_durations.astype(jnp.float32))
+        if cfg.log_scale_durations
+        else target_durations.astype(jnp.float32)
+    )
+    dur_l = _masked_per_sample_mse(log_durations, log_tgt_dur, phone_valid)
+
+    pitch_l = _masked_per_sample_mse(
+        pred_pitch[..., 0], avg_pitch[..., 0], phone_valid
+    )
+    energy_l = _masked_per_sample_mse(
+        pred_energy[..., 0], avg_energy[..., 0], phone_valid
+    )
+
+    ssim_l = ssim_loss(mel_out, mel_target, frame_valid)
+
+    total = (
+        ssim_l * cfg.ssim_loss_weight
+        + mel_l * cfg.mel_loss_weight
+        + postnet_l * cfg.postnet_mel_loss_weight
+        + dur_l * cfg.duration_loss_weight
+        + pitch_l * cfg.pitch_loss_weight
+        + energy_l * cfg.energy_loss_weight
+    )
+    return total, {
+        "total_loss": total,
+        "ssim_loss": ssim_l * cfg.ssim_loss_weight,
+        "mel_loss": mel_l * cfg.mel_loss_weight,
+        "postnet_mel_loss": postnet_l * cfg.postnet_mel_loss_weight,
+        "dur_loss": dur_l * cfg.duration_loss_weight,
+        "pitch_loss": pitch_l * cfg.pitch_loss_weight,
+        "energy_loss": energy_l * cfg.energy_loss_weight,
+    }
