@@ -54,19 +54,17 @@ def sinusoidal_positional_encoding(length: int, d_model: int) -> np.ndarray:
 
 
 class PositionalEncoding(nn.Module):
+    """Stateless sinusoidal table provider; the (1, T, D) slice is a trace-time
+    constant that XLA folds into the compiled program."""
+
     d_model: int
     max_len: int = 4096
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Returns the positional table for x's sequence length, (1, T, D)."""
-        pe = self.variable(
-            "constants",
-            "pe",
-            lambda: jnp.asarray(sinusoidal_positional_encoding(self.max_len, self.d_model)),
-        )
         t = x.shape[1]
-        return jax.lax.stop_gradient(pe.value[:, :t]).astype(x.dtype)
+        pe = sinusoidal_positional_encoding(min(t, self.max_len), self.d_model)
+        return jnp.asarray(pe, dtype=x.dtype)
 
 
 class MultiHeadSelfAttention(nn.Module):

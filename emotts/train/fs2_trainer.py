@@ -1,0 +1,292 @@
+"""FastSpeech2 trainer: teacher-forced steps conditioned on a frozen
+IntensityExtractor.
+
+Covers the reference FS2 training driver (fastspeech2/train.py:54-264):
+AdamW, per-epoch TB scalars for every loss component, best/last checkpoints,
+early stopping, pred-vs-GT mel grids every N epochs, and the train-time
+intensity bridge — the frozen rank-model extractor's frame-level output
+scatter-meaned to phone level over ground-truth durations
+(fastspeech2/train.py:16-51; here a batched segment_mean, no Python loops,
+and with the rank_x layout fixed per SURVEY.md §3.6-B1).
+
+TPU design: one jit per (phone, frame) bucket pair; extractor runs inside
+the same jit under stop_gradient (no separate no_grad pass, XLA fuses the
+whole step); PostNet BatchNorm stats thread through TrainState.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from emotts.data.datasets import FS2Dataset, collate_fs2, pick_bucket
+from emotts.data.loader import BucketLoader
+from emotts.losses.fs2 import fs2_loss
+from emotts.nn.fastspeech2 import FastSpeech2
+from emotts.nn.intensity import IntensityExtractor
+from emotts.nn.length_regulator import segment_mean
+from emotts.parallel.mesh import make_mesh, replicate, shard_batch
+from emotts.train.checkpoint import CheckpointManager
+from emotts.train.metrics import EpochAverager, MetricsWriter, StepTimer
+from emotts.train.state import TrainState, create_train_state, make_optimizer
+from emotts.utils.config import Config
+from emotts.utils.experiment import increment_path, set_seed
+from emotts.utils.plotting import plot_mel_grid
+
+
+def build_fastspeech2(cfg: Config) -> FastSpeech2:
+    # the intensity conditioning vector is the extractor's per-emotion logit,
+    # so its width is always n_emotions (cfg default 5 matches EmoV-DB)
+    cfg.fastspeech2.intensity_dim = cfg.n_emotions
+    return FastSpeech2(cfg.fastspeech2, n_speakers=cfg.n_speakers)
+
+
+def build_intensity_extractor(cfg: Config) -> IntensityExtractor:
+    rm = cfg.rank_model
+    return IntensityExtractor(
+        n_mels=cfg.audio.n_mels,
+        n_heads=rm.n_heads,
+        n_emotions=cfg.n_emotions,
+        n_layers=rm.n_encoder_layers,
+        hidden_dim=rm.hidden_dim,
+        kernel_size=rm.kernel_size,
+        ffn_mult=rm.ffn_mult,
+        dropout=rm.dropout,
+        dtype=jnp.float32,
+    )
+
+
+def extractor_params_from_rank(rank_params) -> dict:
+    """Slice the IntensityExtractor subtree out of trained RankModel params
+    (the reference loads the whole RankModel and keeps .intensity_extractor,
+    fastspeech2/train.py:218-221)."""
+    return {"params": rank_params["params"]["intensity_extractor"]}
+
+
+def init_fs2_variables(cfg: Config, model: FastSpeech2, seed: int = 0):
+    p, t = 8, 16
+    return model.init(
+        {"params": jax.random.PRNGKey(seed)},
+        jnp.ones((1, p), jnp.int32),
+        jnp.zeros((1,), jnp.int32),
+        jnp.full((1, p), 2, jnp.int32),
+        jnp.zeros((1, t), jnp.float32),
+        jnp.zeros((1, t), jnp.float32),
+        jnp.zeros((1, p, cfg.fastspeech2.intensity_dim), jnp.float32),
+        max_mel_len=t,
+    )
+
+
+class FS2Trainer:
+    def __init__(self, cfg: Config, extractor_params: dict, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
+        self.model = build_fastspeech2(cfg)
+        self.extractor = build_intensity_extractor(cfg)
+        self.extractor_params = replicate(self.mesh, extractor_params)
+        self.tx = make_optimizer(cfg.train_fs2)
+
+        variables = init_fs2_variables(cfg, self.model, cfg.train_fs2.seed)
+        state = create_train_state(
+            variables["params"],
+            self.tx,
+            cfg.train_fs2.seed,
+            batch_stats=variables["batch_stats"],
+        )
+        self.state = replicate(self.mesh, state)
+        loss_cfg = cfg.loss
+
+        def intensity_rep(ext_params, batch):
+            """Frozen extractor → phone-level conditioning (B, P, n_emotions)."""
+            frames = self.extractor.apply(
+                ext_params, batch["rank_x"], batch["mel_len"], batch["emotions"]
+            )  # (B, T, n_emo)
+            rep = segment_mean(frames, batch["durations"])  # (B, P, n_emo)
+            return jax.lax.stop_gradient(rep)
+
+        def train_step(state: TrainState, ext_params, batch):
+            rngs = state.next_rngs("dropout")
+            rep = intensity_rep(ext_params, batch)
+            max_len = batch["mel"].shape[1]
+
+            def loss_fn(params):
+                preds, mutated = self.model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch["phonemes"],
+                    batch["speakers"],
+                    batch["durations"],
+                    batch["pitch"],
+                    batch["energy"],
+                    rep,
+                    max_mel_len=max_len,
+                    deterministic=False,
+                    rngs=rngs,
+                    mutable=["batch_stats"],
+                )
+                total, parts = fs2_loss(
+                    preds,
+                    batch["mel"],
+                    batch["durations"],
+                    batch["mel_len"],
+                    batch["phon_len"],
+                    loss_cfg,
+                )
+                return total, (parts, mutated["batch_stats"])
+
+            (_, (metrics, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (
+                state.replace(
+                    step=state.step + 1,
+                    params=params,
+                    opt_state=opt_state,
+                    batch_stats=new_bs,
+                ),
+                metrics,
+            )
+
+        def eval_step(state: TrainState, ext_params, batch):
+            rep = intensity_rep(ext_params, batch)
+            preds = self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch["phonemes"],
+                batch["speakers"],
+                batch["durations"],
+                batch["pitch"],
+                batch["energy"],
+                rep,
+                max_mel_len=batch["mel"].shape[1],
+            )
+            _, metrics = fs2_loss(
+                preds,
+                batch["mel"],
+                batch["durations"],
+                batch["mel_len"],
+                batch["phon_len"],
+                loss_cfg,
+            )
+            return metrics, preds[0]
+
+        self._train_step = jax.jit(train_step, donate_argnums=0)
+        self._eval_step = jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+
+    def _collate(self, examples, frame_bucket):
+        phone_max = max(len(e.phonemes) for e in examples)
+        phone_bucket = pick_bucket(phone_max, self.cfg.bucketing.phone_buckets)
+        if phone_bucket < 0:
+            phone_bucket = self.cfg.bucketing.phone_buckets[-1]
+        return collate_fs2(examples, phone_bucket, frame_bucket)
+
+    def _loader(self, split: str, shuffle: bool) -> BucketLoader:
+        cfg = self.cfg
+        return BucketLoader(
+            FS2Dataset(cfg, split),
+            buckets=cfg.bucketing.frame_buckets,
+            batch_size=cfg.train_fs2.batch_size,
+            collate=self._collate,
+            shuffle=shuffle,
+            seed=cfg.data.split_seed,
+            drop_last=shuffle,
+        )
+
+    @staticmethod
+    def _device_batch(batch):
+        return {k: v for k, v in batch.items() if k not in ("texts", "wavs")}
+
+    def train_epoch(self, loader, epoch: int, writer=None, exp_path=None) -> Dict:
+        avg = EpochAverager()
+        timer = StepTimer()
+        frames = 0
+        for i, batch in enumerate(loader.epoch(epoch)):
+            db = shard_batch(self.mesh, self._device_batch(batch))
+            self.state, metrics = self._train_step(
+                self.state, self.extractor_params, db
+            )
+            avg.update(jax.device_get(metrics))
+            frames += int(batch["mel_len"].sum())
+            timer.tick()
+        means = avg.means()
+        if writer is not None:
+            writer.scalars(means, epoch, prefix="Loss/")
+            st = timer.mean_step_time()
+            if st:
+                writer.scalar("train/step_time_s", st, epoch)
+        return means
+
+    def valid_epoch(self, loader, epoch: int, writer=None, exp_path=None,
+                    plot_every: int = 10) -> Dict:
+        avg = EpochAverager()
+        plotted = False
+        for batch in loader.epoch(epoch):
+            db = shard_batch(self.mesh, self._device_batch(batch))
+            metrics, mel_pred = self._eval_step(self.state, self.extractor_params, db)
+            avg.update(jax.device_get(metrics))
+            if exp_path and not plotted and epoch % plot_every == 0:
+                mels_dir = Path(exp_path) / "mels"
+                mels_dir.mkdir(exist_ok=True)
+                plot_mel_grid(
+                    np.asarray(jax.device_get(mel_pred)),
+                    batch["mel"],
+                    str(mels_dir / f"valid_epoch_{epoch}.png"),
+                )
+                plotted = True
+        means = avg.means()
+        if writer is not None:
+            writer.scalars(means, epoch, prefix="Valid/Loss/")
+        return means
+
+    def fit(self, exp_path: Optional[str] = None, verbose: bool = True) -> str:
+        cfg = self.cfg
+        set_seed(cfg.train_fs2.seed)
+        if exp_path is None:
+            exp_path = increment_path(
+                os.path.join(cfg.data.experiment_path, "fastspeech2"),
+                subdirs=("wavs", "mels"),
+            )
+        writer = MetricsWriter(exp_path)
+        ckpt = CheckpointManager(exp_path, keep=cfg.train_fs2.keep_checkpoints)
+
+        train_loader = self._loader("train", shuffle=True)
+        valid_loader = self._loader("valid", shuffle=False)
+
+        best_val = float("inf")
+        patience = 0
+        global_step = 0
+        for epoch in range(cfg.train_fs2.n_epochs):
+            train_means = self.train_epoch(train_loader, epoch, writer, exp_path)
+            val_means = self.valid_epoch(valid_loader, epoch, writer, exp_path)
+            val_loss = val_means.get("total_loss", float("inf"))
+            if verbose:
+                print(
+                    f"[fs2] epoch {epoch}: train {train_means.get('total_loss', 0):.4f} "
+                    f"valid {val_loss:.4f}"
+                )
+            ckpt.save(self.state)
+            if val_loss < best_val:
+                best_val = val_loss
+                patience = 0
+                ckpt.save_best(
+                    {"params": self.state.params, "batch_stats": self.state.batch_stats}
+                )
+            else:
+                patience += 1
+                if patience >= cfg.train_fs2.patience:
+                    break
+            global_step += train_loader.batches_per_epoch(epoch)
+            if global_step >= cfg.train_fs2.max_iterations:
+                break
+        ckpt.close()
+        writer.close()
+        return exp_path
