@@ -1,0 +1,101 @@
+"""End-to-end synthesis benchmark (BASELINE.json config 5).
+
+Measures the RTF-critical path on one chip: batched FastSpeech2 inference
+(full-size: 6+6 FFT layers, d=384) + full-size HiFi-GAN V1 vocoding for the
+reference's demo sweep (4 speakers × 5 emotions × 3 intensity levels = 60
+utterances in ONE device batch), bf16 matmuls.
+
+Prints one JSON line: e2e synthesis RTF per chip.  ``vs_baseline`` is the
+BASELINE.md target (0.01 RTF) divided by the measured RTF (>1 = better than
+target; the PyTorch reference publishes no numbers of its own, SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from emotts.nn.hifigan import HiFiGANGenerator
+    from emotts.train.fs2_trainer import build_fastspeech2, init_fs2_variables
+    from emotts.utils.config import Config
+
+    cfg = Config()
+    cfg.fastspeech2.max_mel_len = 896
+    n_phones = 64  # ~ the reference demo sentence after G2P
+    batch = cfg.n_speakers * cfg.n_emotions * cfg.inference.bucket_size  # 60
+
+    from emotts.nn.fastspeech2 import FastSpeech2
+
+    compute_dtype = jnp.bfloat16
+    cfg.fastspeech2.intensity_dim = cfg.n_emotions
+    model = FastSpeech2(cfg.fastspeech2, n_speakers=cfg.n_speakers, dtype=compute_dtype)
+    variables = init_fs2_variables(cfg, model, seed=0)
+
+    vocoder = HiFiGANGenerator(in_channels=cfg.audio.n_mels)
+    voc_params = vocoder.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, cfg.audio.n_mels))
+    )
+
+    rng = np.random.default_rng(0)
+    phonemes = jnp.asarray(rng.integers(1, 80, (batch, n_phones)).astype(np.int32))
+    speakers = jnp.asarray(
+        (np.arange(batch) % cfg.n_speakers).astype(np.int32)
+    )
+    intensity = jnp.asarray(
+        rng.standard_normal((batch, n_phones, cfg.n_emotions)).astype(np.float32)
+    )
+
+    voc_chunk = 6  # vocoder activations are huge post-upsample; bound HBM
+
+    @jax.jit
+    def synth(variables, voc_params, phonemes, speakers, intensity):
+        preds = model.apply(
+            variables, phonemes, speakers, intensity=intensity,
+            max_mel_len=cfg.fastspeech2.max_mel_len,
+        )
+        mel, mel_lens = preds[0], preds[7]
+        chunks = mel.astype(compute_dtype).reshape(
+            batch // voc_chunk, voc_chunk, *mel.shape[1:]
+        )
+        wav = jax.lax.map(lambda m: vocoder.apply(voc_params, m), chunks)
+        return wav.reshape(batch, -1), mel_lens
+
+    # warmup / compile
+    wav, mel_lens = synth(variables, voc_params, phonemes, speakers, intensity)
+    wav.block_until_ready()
+
+    # timed runs
+    n_iters = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        wav, mel_lens = synth(variables, voc_params, phonemes, speakers, intensity)
+    wav.block_until_ready()
+    wall = (time.perf_counter() - t0) / n_iters
+
+    # audio seconds actually synthesized (total across the batch)
+    lens = np.asarray(jax.device_get(mel_lens))
+    audio_secs = float(lens.sum()) * cfg.audio.hop_length / cfg.audio.sampling_rate
+    rtf = wall / audio_secs
+    target = 0.01
+
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_synthesis_rtf_per_chip",
+                "value": rtf,
+                "unit": "rtf",
+                "vs_baseline": target / rtf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Unified CLI: ``python -m emotts.cli.main <command> [--config cfg.yaml] [a.b=c ...]``.
+
+Entry points mirror the reference's per-package scripts (SURVEY.md §1 L3b):
+
+  prepare-corpus → rank_model/prepare_mfa.py
+  preprocess     → rank_model/preprocess.py (features + pair lists)
+  fs2-splits     → fastspeech2/preprocess.py
+  train-rank     → rank_model/train.py
+  bucketize      → rank_model/inference.py
+  train-fs2      → fastspeech2/train.py
+  synthesize     → fastspeech2/inference.py
+  convert-vocoder → (new) torch HiFi-GAN checkpoint → .npz params
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from emotts.utils.config import Config, load_config
+
+
+def _parse(argv):
+    parser = argparse.ArgumentParser(prog="emotts")
+    parser.add_argument(
+        "command",
+        choices=[
+            "prepare-corpus",
+            "preprocess",
+            "fs2-splits",
+            "train-rank",
+            "bucketize",
+            "train-fs2",
+            "synthesize",
+            "convert-vocoder",
+        ],
+    )
+    parser.add_argument("--config", default=None, help="YAML config path")
+    parser.add_argument("--checkpoint", default=None, help="(convert-vocoder) torch ckpt")
+    parser.add_argument("--output", default=None, help="(convert-vocoder) output .npz")
+    parser.add_argument("overrides", nargs="*", help="a.b.c=value overrides")
+    return parser.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = _parse(argv if argv is not None else sys.argv[1:])
+    cfg: Config = load_config(args.config, args.overrides)
+
+    if args.command == "prepare-corpus":
+        from emotts.cli.prepare_corpus import prepare_corpus
+
+        n = prepare_corpus(cfg)
+        print(f"[prepare] wrote {n} corpus utterances")
+
+    elif args.command == "preprocess":
+        from emotts.data.preprocess import preprocess_all
+        from emotts.data.splits import build_rank_pair_lists
+
+        counts = preprocess_all(cfg)
+        train, test = build_rank_pair_lists(cfg)
+        print(
+            f"[preprocess] {sum(counts.values())} utterances; "
+            f"{len(train)} train pairs, {len(test)} test pairs"
+        )
+
+    elif args.command == "fs2-splits":
+        from emotts.data.splits import build_fs2_splits
+
+        train, valid = build_fs2_splits(cfg)
+        print(f"[fs2-splits] {len(train)} train / {len(valid)} valid")
+
+    elif args.command == "train-rank":
+        from emotts.train.rank_trainer import RankTrainer
+
+        exp = RankTrainer(cfg).fit()
+        print(f"[train-rank] experiment: {exp}")
+
+    elif args.command == "bucketize":
+        from emotts.infer.bucketize import bucketize
+
+        out = bucketize(cfg)
+        print(f"[bucketize] prototypes saved to {out}")
+
+    elif args.command == "train-fs2":
+        import os
+
+        from emotts.train.checkpoint import load_best_params
+        from emotts.train.fs2_trainer import FS2Trainer, extractor_params_from_rank
+        from emotts.train.rank_trainer import build_rank_model, init_rank_params
+
+        rank_exp = os.path.join(
+            cfg.data.experiment_path, "rank_model", cfg.inference.rank_exp
+        )
+        template = init_rank_params(cfg, build_rank_model(cfg), 0)
+        rank_params = load_best_params(rank_exp, template)
+        exp = FS2Trainer(cfg, extractor_params_from_rank(rank_params)).fit()
+        print(f"[train-fs2] experiment: {exp}")
+
+    elif args.command == "synthesize":
+        from emotts.infer.synthesize import load_synthesizer
+
+        synth = load_synthesizer(cfg)
+        out = synth.intensity_sweep(cfg.inference.text, cfg.inference.output_path)
+        print(f"[synthesize] wrote {len(out)} items to {cfg.inference.output_path}")
+
+    elif args.command == "convert-vocoder":
+        from emotts.infer.synthesize import load_vocoder_checkpoint, save_vocoder_params_npz
+
+        if not args.checkpoint or not args.output:
+            print("convert-vocoder requires --checkpoint and --output", file=sys.stderr)
+            return 2
+        params = load_vocoder_checkpoint(args.checkpoint, cfg)
+        save_vocoder_params_npz(params, args.output)
+        print(f"[convert-vocoder] saved {args.output}")
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

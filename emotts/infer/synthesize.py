@@ -1,0 +1,218 @@
+"""End-to-end synthesis: text → G2P → FastSpeech2 → HiFi-GAN → wav.
+
+Covers the reference synthesis driver (fastspeech2/inference.py:40-84):
+for every (speaker × emotion × intensity level), condition FastSpeech2 on
+the bucketized intensity prototype (neutral → zeros, with the correct
+n_emotions width — fixing SURVEY.md §3.6-B2) and vocode the predicted mel.
+
+TPU design: the reference loops 60 single-utterance forwards; here the whole
+(speaker × emotion × level) sweep runs as **one batched jit** through both
+models — the RTF-critical path stays on device end to end, with a single
+host transfer of the waveform batch.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emotts.audio.wavio import write_wav
+from emotts.data.datasets import pick_bucket
+from emotts.nn.hifigan import HiFiGANGenerator
+from emotts.text.g2p import G2P
+from emotts.train.fs2_trainer import build_fastspeech2
+from emotts.utils.config import Config
+
+
+class Synthesizer:
+    def __init__(
+        self,
+        cfg: Config,
+        fs2_variables: dict,  # {'params': ..., 'batch_stats': ...}
+        vocoder_params: Optional[dict] = None,
+        intensity_bank: Optional[np.ndarray] = None,  # (n_spk, n_emo, levels, n_emo)
+        g2p: Optional[G2P] = None,
+    ):
+        self.cfg = cfg
+        self.model = build_fastspeech2(cfg)
+        self.fs2_variables = fs2_variables
+        self.vocoder = HiFiGANGenerator(in_channels=cfg.audio.n_mels)
+        self.vocoder_params = vocoder_params
+        self.intensity_bank = intensity_bank
+        self.g2p = g2p or G2P(cfg.inference.lexicon_path or None)
+        self._mel_fn = jax.jit(self._mel_forward, static_argnames=("max_mel_len",))
+        self._voc_fn = jax.jit(self._vocode) if vocoder_params is not None else None
+
+    # -- jitted cores ---------------------------------------------------
+
+    def _mel_forward(self, variables, phonemes, speakers, intensity, max_mel_len):
+        preds = self.model.apply(
+            variables,
+            phonemes,
+            speakers,
+            intensity=intensity,
+            max_mel_len=max_mel_len,
+        )
+        return preds[0], preds[7]  # mel (B, T, n_mels), mel_lens (B,)
+
+    def _vocode(self, params, mel):
+        return self.vocoder.apply(params, mel)  # (B, T·hop)
+
+    # -- public API ------------------------------------------------------
+
+    def text_to_phoneme_ids(self, text: str) -> np.ndarray:
+        return np.asarray(self.g2p.text_to_sequence(text), dtype=np.int32)
+
+    def intensity_for(
+        self, speaker_id: int, emotion_id: int, level: int, n_phones: int
+    ) -> np.ndarray:
+        """Prototype lookup broadcast over phones; neutral (class 0) → zeros."""
+        n_emo = self.cfg.n_emotions
+        if emotion_id == 0 or self.intensity_bank is None:
+            return np.zeros((n_phones, n_emo), np.float32)
+        proto = self.intensity_bank[speaker_id, emotion_id, level]  # (n_emo,)
+        return np.broadcast_to(proto, (n_phones, n_emo)).astype(np.float32)
+
+    def synthesize_mels(
+        self,
+        phoneme_ids: np.ndarray,  # (P,)
+        speakers: np.ndarray,  # (B,)
+        intensity: np.ndarray,  # (B, P, n_emo)
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched mel synthesis with predicted durations/pitch/energy."""
+        p_bucket = pick_bucket(len(phoneme_ids), self.cfg.bucketing.phone_buckets)
+        if p_bucket < 0:
+            p_bucket = len(phoneme_ids)
+        b = len(speakers)
+        phon = np.zeros((b, p_bucket), np.int32)
+        phon[:, : len(phoneme_ids)] = phoneme_ids
+        inten = np.zeros((b, p_bucket, intensity.shape[-1]), np.float32)
+        inten[:, : intensity.shape[1]] = intensity
+        mel, mel_lens = self._mel_fn(
+            self.fs2_variables,
+            jnp.asarray(phon),
+            jnp.asarray(speakers),
+            jnp.asarray(inten),
+            max_mel_len=self.cfg.fastspeech2.max_mel_len,
+        )
+        return mel, mel_lens
+
+    def vocode(self, mel) -> np.ndarray:
+        if self._voc_fn is None:
+            raise RuntimeError("no vocoder params loaded")
+        return self._voc_fn(self.vocoder_params, mel)
+
+    def intensity_sweep(
+        self, text: str, out_dir: Optional[str] = None
+    ) -> Dict[Tuple[str, str, int], np.ndarray]:
+        """The reference's demo sweep: every (speaker, emotion, level) for one
+        sentence — one batched device pass instead of 60 sequential forwards."""
+        cfg = self.cfg
+        ids = self.text_to_phoneme_ids(text)
+        levels = cfg.inference.bucket_size
+        combos = list(
+            itertools.product(
+                range(cfg.n_speakers), range(cfg.n_emotions), range(levels)
+            )
+        )
+        speakers = np.array([s for s, _, _ in combos], np.int32)
+        intensity = np.stack(
+            [self.intensity_for(s, e, lv, len(ids)) for s, e, lv in combos]
+        )
+        mel, mel_lens = self.synthesize_mels(ids, speakers, intensity)
+        wav = self.vocode(mel) if self._voc_fn is not None else None
+
+        hop = cfg.audio.hop_length
+        mel_lens = np.asarray(jax.device_get(mel_lens))
+        out: Dict[Tuple[str, str, int], np.ndarray] = {}
+        wav_np = np.asarray(jax.device_get(wav)) if wav is not None else None
+        mel_np = np.asarray(jax.device_get(mel))
+        for i, (s, e, lv) in enumerate(combos):
+            key = (cfg.data.speakers[s], cfg.data.emotions[e], lv)
+            if wav_np is not None:
+                out[key] = wav_np[i, : int(mel_lens[i]) * hop]
+            else:
+                out[key] = mel_np[i, : int(mel_lens[i])]
+        if out_dir is not None and wav_np is not None:
+            Path(out_dir).mkdir(parents=True, exist_ok=True)
+            for (spk, emo, lv), w in out.items():
+                write_wav(
+                    os.path.join(out_dir, f"{spk}_{emo}_{lv}.wav"),
+                    w,
+                    cfg.audio.sampling_rate,
+                )
+        return out
+
+
+def load_synthesizer(cfg: Config, fs2_exp: Optional[str] = None,
+                     rank_exp: Optional[str] = None) -> Synthesizer:
+    """Assemble a Synthesizer from experiment artifacts (best FS2 checkpoint,
+    intensity.npy, optional converted vocoder checkpoint)."""
+    from emotts.train.checkpoint import load_best_params
+    from emotts.train.fs2_trainer import init_fs2_variables, build_fastspeech2
+
+    fs2_exp = fs2_exp or os.path.join(
+        cfg.data.experiment_path, "fastspeech2", cfg.inference.fs2_exp
+    )
+    rank_exp = rank_exp or os.path.join(
+        cfg.data.experiment_path, "rank_model", cfg.inference.rank_exp
+    )
+    model = build_fastspeech2(cfg)
+    template = init_fs2_variables(cfg, model, 0)
+    fs2_vars = load_best_params(
+        fs2_exp,
+        {"params": template["params"], "batch_stats": template["batch_stats"]},
+    )
+    intensity_path = os.path.join(rank_exp, "intensity.npy")
+    bank = np.load(intensity_path) if os.path.exists(intensity_path) else None
+
+    voc_params = None
+    ckpt = cfg.inference.vocoder_checkpoint
+    if ckpt and os.path.exists(ckpt):
+        voc_params = load_vocoder_checkpoint(ckpt, cfg)
+    return Synthesizer(cfg, fs2_vars, voc_params, bank)
+
+
+def load_vocoder_checkpoint(path: str, cfg: Config) -> dict:
+    """Load a vocoder checkpoint: .npz of converted params, or a torch .pt/.pth
+    state_dict (converted on the fly when torch is available)."""
+    if path.endswith(".npz"):
+        flat = np.load(path)
+        params: dict = {}
+        for key in flat.files:
+            node = params
+            *parents, leaf = key.split("/")
+            for p in parents:
+                node = node.setdefault(p, {})
+            node[leaf] = flat[key]
+        return {"params": params}
+    import torch  # noqa: deferred; only for torch checkpoints
+
+    from emotts.nn.hifigan import convert_torch_state_dict
+
+    sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and "generator" in sd:
+        sd = sd["generator"]
+    sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    return convert_torch_state_dict(sd)
+
+
+def save_vocoder_params_npz(params: dict, path: str) -> None:
+    """Flatten converted vocoder params to an .npz for hermetic deployments."""
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(node, prefix=""):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                walk(v, f"{prefix}{k}/")
+            else:
+                flat[f"{prefix}{k}"] = np.asarray(v)
+
+    walk(params["params"])
+    np.savez(path, **flat)

@@ -120,6 +120,7 @@ class PostNet(nn.Module):
 class FastSpeech2(nn.Module):
     cfg: FastSpeech2Config
     n_speakers: int = 4
+    dtype: jnp.dtype = jnp.float32  # compute dtype (bf16 on TPU); params fp32
 
     @nn.compact
     def __call__(
@@ -137,15 +138,16 @@ class FastSpeech2(nn.Module):
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, ...]:
         c = self.cfg
-        dtype = jnp.float32  # container modules cast internally
+        dtype = jnp.float32  # glue math stays fp32; heavy modules use self.dtype
         b, p = tokens.shape
         token_valid = tokens != c.padding_idx  # (B, P)
         tmask = token_valid[..., None].astype(dtype)
 
         # ---------------- encoder ----------------
         feats = EncoderPreNet(
-            c.n_char, c.enc_d_model, c.padding_idx, dropout=0.15, name="prenet"
-        )(tokens, deterministic)
+            c.n_char, c.enc_d_model, c.padding_idx, dropout=0.15,
+            dtype=self.dtype, name="prenet",
+        )(tokens, deterministic).astype(dtype)
         pos = PositionalEncoding(c.enc_d_model, name="pos_enc")(feats)
         feats = (feats + pos) * tmask
         feats = FFTStack(
@@ -158,8 +160,9 @@ class FastSpeech2(nn.Module):
             dropout=c.enc_dropout,
             normalize_before=c.normalize_before,
             final_norm=True,
+            dtype=self.dtype,
             name="encoder",
-        )(feats, key_valid=token_valid, deterministic=deterministic)
+        )(feats, key_valid=token_valid, deterministic=deterministic).astype(dtype)
         feats = feats * tmask
 
         # ------------- conditioning: speaker ⊕ intensity -------------
@@ -175,12 +178,12 @@ class FastSpeech2(nn.Module):
         # ---------------- variance adaptors ----------------
         log_durations = VariancePredictor(
             c.enc_d_model, c.dur_pred_kernel_size, c.variance_predictor_dropout,
-            name="duration_predictor",
+            dtype=self.dtype, name="duration_predictor",
         )(feats, token_valid, deterministic)[..., 0]  # (B, P)
 
         pred_pitch = VariancePredictor(
             c.enc_d_model, c.pitch_pred_kernel_size, c.variance_predictor_dropout,
-            name="pitch_predictor",
+            dtype=self.dtype, name="pitch_predictor",
         )(feats, token_valid, deterministic)  # (B, P, 1)
         pred_pitch = pred_pitch * pitch_rate
 
@@ -198,7 +201,7 @@ class FastSpeech2(nn.Module):
 
         pred_energy = VariancePredictor(
             c.enc_d_model, c.energy_pred_kernel_size, c.variance_predictor_dropout,
-            name="energy_predictor",
+            dtype=self.dtype, name="energy_predictor",
         )(feats, token_valid, deterministic)  # (B, P, 1)
         pred_energy = pred_energy * energy_rate
 
@@ -243,8 +246,9 @@ class FastSpeech2(nn.Module):
             dropout=c.dec_dropout,
             normalize_before=c.normalize_before,
             final_norm=True,
+            dtype=self.dtype,
             name="decoder",
-        )(spec, key_valid=frame_valid, deterministic=deterministic)
+        )(spec, key_valid=frame_valid, deterministic=deterministic).astype(dtype)
 
         mel_post = nn.Dense(c.n_mels, name="mel_head")(spec) * fmask
         residual = PostNet(
@@ -253,6 +257,7 @@ class FastSpeech2(nn.Module):
             kernel_size=c.postnet_kernel_size,
             n_convs=c.postnet_n_convolutions,
             dropout=c.postnet_dropout,
+            dtype=self.dtype,
             name="postnet",
         )(mel_post, deterministic)
         postnet_mel = (mel_post + residual) * fmask

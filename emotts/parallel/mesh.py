@@ -25,16 +25,16 @@ MODEL_AXIS = "model"
 def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
     """Build a (data, model) mesh over the available devices."""
     cfg = cfg or MeshConfig()
-    devices = devices if devices is not None else jax.devices()
+    devices = list(devices) if devices is not None else jax.devices()
     n = len(devices)
     model = max(1, cfg.model_parallel)
     data = cfg.data_parallel if cfg.data_parallel > 0 else n // model
-    if data * model != n:
+    if data * model > n:
         raise ValueError(
-            f"mesh {data}x{model} does not cover {n} devices; "
+            f"mesh {data}x{model} needs {data * model} devices, have {n}; "
             "set mesh.data_parallel/model_parallel to match"
         )
-    arr = np.asarray(devices).reshape(data, model)
+    arr = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(arr, (cfg.data_axis, cfg.model_axis))
 
 

@@ -23,8 +23,11 @@ def test_make_mesh_shapes():
     assert mesh.axis_names == ("data", "model")
     mesh2 = make_mesh(MeshConfig(data_parallel=4, model_parallel=2))
     assert mesh2.devices.shape == (4, 2)
+    # explicit sizes smaller than the device count use a prefix of devices
+    mesh3 = make_mesh(MeshConfig(data_parallel=3, model_parallel=2))
+    assert mesh3.devices.shape == (3, 2)
     with pytest.raises(ValueError):
-        make_mesh(MeshConfig(data_parallel=3, model_parallel=2))
+        make_mesh(MeshConfig(data_parallel=5, model_parallel=2))
 
 
 def _tiny_setup(batch):
