@@ -28,7 +28,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from emotts.audio.f0 import extract_f0, interpolate_unvoiced
+from emotts.audio.f0 import extract_f0 as extract_f0_np, interpolate_unvoiced
+from emotts.audio.native import extract_f0_native, have_native
 from emotts.audio.mel import mel_energy_np, num_frames
 from emotts.audio.normalize import RunningStats, remove_outliers
 from emotts.audio.textgrid import process_textgrid
@@ -102,8 +103,12 @@ def _extract_one(
         else ""
     )
 
-    # F0 (hop-aligned) with unvoiced interpolation
-    pitch = extract_f0(y, audio.hop_length, audio.sampling_rate)
+    # F0 (hop-aligned) with unvoiced interpolation; the C++ extension is the
+    # production path, the numpy mirror the fallback
+    if have_native():
+        pitch = extract_f0_native(y, audio.hop_length, audio.sampling_rate)
+    else:
+        pitch = extract_f0_np(y, audio.hop_length, audio.sampling_rate)
     if np.count_nonzero(pitch) <= 1:
         return None
 
