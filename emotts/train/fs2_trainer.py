@@ -85,7 +85,23 @@ def init_fs2_variables(cfg: Config, model: FastSpeech2, seed: int = 0):
 
 
 class FS2Trainer:
-    def __init__(self, cfg: Config, extractor_params: dict, mesh=None):
+    """``vocoder``/``vocoder_params`` (optional) enable vocoded validation
+    samples — the reference dumps 4 pred/GT wavs every 10 epochs
+    (fastspeech2/train.py:141-148, util.py:103-119)."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        extractor_params: dict,
+        mesh=None,
+        vocoder=None,
+        vocoder_params=None,
+    ):
+        self.vocoder = vocoder
+        self.vocoder_params = vocoder_params
+        self._voc_fn = None
+        if vocoder is not None and vocoder_params is not None:
+            self._voc_fn = jax.jit(vocoder.apply)
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
         self.model = build_fastspeech2(cfg)
@@ -236,25 +252,74 @@ class FS2Trainer:
             if exp_path and not plotted and epoch % plot_every == 0:
                 mels_dir = Path(exp_path) / "mels"
                 mels_dir.mkdir(exist_ok=True)
+                mel_pred_np = np.asarray(jax.device_get(mel_pred))
                 plot_mel_grid(
-                    np.asarray(jax.device_get(mel_pred)),
+                    mel_pred_np,
                     batch["mel"],
                     str(mels_dir / f"valid_epoch_{epoch}.png"),
                 )
+                self._vocode_samples(batch, mel_pred_np, epoch, exp_path)
                 plotted = True
         means = avg.means()
         if writer is not None:
             writer.scalars(means, epoch, prefix="Valid/Loss/")
         return means
 
-    def fit(self, exp_path: Optional[str] = None, verbose: bool = True) -> str:
+    def restore(self, exp_path: str) -> bool:
+        """Resume full train state (params+opt+step+rng+batch_stats) from an
+        experiment's latest checkpoint; returns True if one was found."""
+        ckpt = CheckpointManager(exp_path, keep=self.cfg.train_fs2.keep_checkpoints)
+        restored = ckpt.restore(jax.device_get(self.state))
+        ckpt.close()
+        if restored is None:
+            return False
+        self.state = replicate(self.mesh, restored)
+        return True
+
+    def _vocode_samples(self, batch, mel_pred: np.ndarray, epoch: int,
+                        exp_path: str, max_samples: int = 4) -> None:
+        """Vocode pred vs GT mels for the first few validation samples."""
+        if self._voc_fn is None:
+            return
+        from emotts.audio.wavio import write_wav
+
+        wav_dir = Path(exp_path) / "wavs"
+        wav_dir.mkdir(exist_ok=True)
+        n = min(max_samples, mel_pred.shape[0])
+        hop = self.cfg.audio.hop_length
+        sr = self.cfg.audio.sampling_rate
+        pred_wavs = np.asarray(
+            jax.device_get(self._voc_fn(self.vocoder_params, jnp.asarray(mel_pred[:n])))
+        )
+        gt_wavs = np.asarray(
+            jax.device_get(
+                self._voc_fn(self.vocoder_params, jnp.asarray(batch["mel"][:n]))
+            )
+        )
+        for i in range(n):
+            t = int(batch["mel_len"][i]) * hop
+            write_wav(str(wav_dir / f"epoch_{epoch}_sample_{i + 1}_pred.wav"),
+                      pred_wavs[i, :t], sr)
+            write_wav(str(wav_dir / f"epoch_{epoch}_sample_{i + 1}_gt.wav"),
+                      gt_wavs[i, :t], sr)
+
+    def fit(
+        self,
+        exp_path: Optional[str] = None,
+        verbose: bool = True,
+        resume: bool = False,
+    ) -> str:
         cfg = self.cfg
         set_seed(cfg.train_fs2.seed)
+        if cfg.train_fs2.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         if exp_path is None:
             exp_path = increment_path(
                 os.path.join(cfg.data.experiment_path, "fastspeech2"),
                 subdirs=("wavs", "mels"),
             )
+        elif resume:
+            self.restore(exp_path)
         writer = MetricsWriter(exp_path)
         ckpt = CheckpointManager(exp_path, keep=cfg.train_fs2.keep_checkpoints)
 
@@ -265,7 +330,11 @@ class FS2Trainer:
         patience = 0
         global_step = 0
         for epoch in range(cfg.train_fs2.n_epochs):
-            train_means = self.train_epoch(train_loader, epoch, writer, exp_path)
+            if epoch == cfg.train_fs2.profile_epoch:
+                with jax.profiler.trace(os.path.join(exp_path, "profile")):
+                    train_means = self.train_epoch(train_loader, epoch, writer, exp_path)
+            else:
+                train_means = self.train_epoch(train_loader, epoch, writer, exp_path)
             val_means = self.valid_epoch(valid_loader, epoch, writer, exp_path)
             val_loss = val_means.get("total_loss", float("inf"))
             if verbose:

@@ -178,7 +178,24 @@ class RankTrainer:
             )
         return means
 
-    def fit(self, exp_path: Optional[str] = None, verbose: bool = True) -> str:
+    def restore(self, exp_path: str) -> bool:
+        """Resume full train state (params+opt+step+rng) from an experiment's
+        latest checkpoint; returns True if one was found.  (The reference has
+        no resume at all — weights-only best_model.pth, SURVEY.md §5.)"""
+        ckpt = CheckpointManager(exp_path, keep=self.cfg.train_rank.keep_checkpoints)
+        restored = ckpt.restore(jax.device_get(self.state))
+        ckpt.close()
+        if restored is None:
+            return False
+        self.state = replicate(self.mesh, restored)
+        return True
+
+    def fit(
+        self,
+        exp_path: Optional[str] = None,
+        verbose: bool = True,
+        resume: bool = False,
+    ) -> str:
         """Full training loop; returns the experiment directory."""
         cfg = self.cfg
         set_seed(cfg.train_rank.seed)
@@ -186,6 +203,8 @@ class RankTrainer:
             exp_path = increment_path(
                 os.path.join(cfg.data.experiment_path, "rank_model")
             )
+        elif resume:
+            self.restore(exp_path)
         writer = MetricsWriter(exp_path)
         ckpt = CheckpointManager(exp_path, keep=cfg.train_rank.keep_checkpoints)
 
@@ -195,8 +214,14 @@ class RankTrainer:
         best_val = float("inf")
         patience = 0
         global_step = 0
+        if cfg.train_rank.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         for epoch in range(cfg.train_rank.n_epochs):
-            train_means = self.train_epoch(train_loader, epoch, writer)
+            if epoch == cfg.train_rank.profile_epoch:
+                with jax.profiler.trace(os.path.join(exp_path, "profile")):
+                    train_means = self.train_epoch(train_loader, epoch, writer)
+            else:
+                train_means = self.train_epoch(train_loader, epoch, writer)
             val_means = self.validate_epoch(valid_loader, epoch, writer, exp_path)
             val_loss = val_means.get("loss", float("inf"))
             if verbose:

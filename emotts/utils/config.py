@@ -154,6 +154,9 @@ class TrainConfig:
     checkpoint_every_steps: int = 500
     keep_checkpoints: int = 3
     log_every_steps: int = 50
+    # observability/debug (SURVEY.md §5: absent in the reference)
+    profile_epoch: int = -1  # epoch to capture a jax.profiler trace (-1 = off)
+    debug_nans: bool = False  # enable jax_debug_nans for fault isolation
 
 
 @dataclass
