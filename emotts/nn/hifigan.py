@@ -72,15 +72,41 @@ def _conv_transpose1d(
 
 
 class ResBlock1(nn.Module):
-    """HiFi-GAN V1 residual block: per dilation d, x += c2(lrelu(c1(lrelu(x))))."""
+    """HiFi-GAN V1 residual block: per dilation d, x += c2(lrelu(c1(lrelu(x)))).
+
+    ``use_pallas=True`` routes through the VMEM-fused Pallas kernel
+    (emotts.ops.resblock.fused_resblock1) — same params, same math, one HBM
+    round-trip per tile instead of one per op."""
 
     channels: int
     kernel_size: int
     dilations: Tuple[int, ...] = (1, 3, 5)
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k = self.kernel_size
+        if self.use_pallas:
+            from emotts.ops.resblock import fused_resblock1
+
+            def p(name, shape):
+                return self.param(name, nn.initializers.normal(0.01), shape)
+
+            def pb(name, shape):
+                return self.param(name, nn.initializers.zeros, shape)
+
+            n_d = len(self.dilations)
+            w1 = jnp.stack(
+                [p(f"convs1_{i}_kernel", (k, self.channels, self.channels))
+                 for i in range(n_d)]
+            )
+            b1 = jnp.stack([pb(f"convs1_{i}_bias", (self.channels,)) for i in range(n_d)])
+            w2 = jnp.stack(
+                [p(f"convs2_{i}_kernel", (k, self.channels, self.channels))
+                 for i in range(n_d)]
+            )
+            b2 = jnp.stack([pb(f"convs2_{i}_bias", (self.channels,)) for i in range(n_d)])
+            return fused_resblock1(x, w1, b1, w2, b2, self.dilations)
         for i, d in enumerate(self.dilations):
             w1 = self.param(
                 "convs1_%d_kernel" % i,
@@ -109,6 +135,7 @@ class HiFiGANGenerator(nn.Module):
     upsample_kernel_sizes: Tuple[int, ...] = (16, 16, 4, 4)
     resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
     resblock_dilations: Tuple[Tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    use_pallas_resblocks: bool = False  # fused MRF kernels (TPU only)
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
@@ -133,7 +160,11 @@ class HiFiGANGenerator(nn.Module):
             for j, (k, dil) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilations)
             ):
-                y = ResBlock1(out_ch, k, tuple(dil), name=f"resblock_{i}_{j}")(x)
+                y = ResBlock1(
+                    out_ch, k, tuple(dil),
+                    use_pallas=self.use_pallas_resblocks,
+                    name=f"resblock_{i}_{j}",
+                )(x)
                 acc = y if acc is None else acc + y
             x = acc / len(self.resblock_kernel_sizes)
             ch = out_ch
