@@ -170,13 +170,22 @@ def feature_extraction(cfg: Config, speaker: str, emotion: str) -> int:
     wav_paths = sorted(glob(os.path.join(data.corpus_path, speaker, f"{emotion}_*.wav")))
     pitch_stats, energy_stats = RunningStats(), RunningStats()
     extracted: List[_Extracted] = []
-    for path in wav_paths:
-        ex = _extract_one(cfg, speaker, emotion, path)
-        if ex is None:
-            continue
-        pitch_stats.update(remove_outliers(ex.pitch))
-        energy_stats.update(remove_outliers(ex.energy))
-        extracted.append(ex)
+    # thread-pool parallel feature extraction: the hot inner loops (native
+    # F0 via ctypes, numpy FFTs) release the GIL, so threads scale on host
+    # cores (replaces the reference's serial loop + DataLoader workers)
+    import concurrent.futures as cf
+
+    workers = max(1, (os.cpu_count() or 2) - 1)
+    with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+        results = pool.map(
+            lambda p: _extract_one(cfg, speaker, emotion, p), wav_paths
+        )
+        for ex in results:
+            if ex is None:
+                continue
+            pitch_stats.update(remove_outliers(ex.pitch))
+            energy_stats.update(remove_outliers(ex.energy))
+            extracted.append(ex)
 
     if not extracted:
         return 0

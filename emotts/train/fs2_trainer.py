@@ -41,11 +41,13 @@ from emotts.utils.experiment import increment_path, set_seed
 from emotts.utils.plotting import plot_mel_grid
 
 
-def build_fastspeech2(cfg: Config) -> FastSpeech2:
+def build_fastspeech2(cfg: Config, dtype=None) -> FastSpeech2:
     # the intensity conditioning vector is the extractor's per-emotion logit,
     # so its width is always n_emotions (cfg default 5 matches EmoV-DB)
     cfg.fastspeech2.intensity_dim = cfg.n_emotions
-    return FastSpeech2(cfg.fastspeech2, n_speakers=cfg.n_speakers)
+    if dtype is None:
+        dtype = jnp.dtype(cfg.train_fs2.compute_dtype)
+    return FastSpeech2(cfg.fastspeech2, n_speakers=cfg.n_speakers, dtype=dtype)
 
 
 def build_intensity_extractor(cfg: Config) -> IntensityExtractor:

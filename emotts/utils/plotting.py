@@ -127,5 +127,41 @@ def plot_tsne(
     return True
 
 
+def plot_features(
+    mel: np.ndarray,  # (n_mels, T)
+    pitch: np.ndarray,  # (T,) z-normalized
+    energy: np.ndarray,  # (T,) z-normalized
+    stats: dict,  # {'pitch': [min,max,mean,std], 'energy': [...]}
+    save_path: str,
+) -> None:
+    """Mel with denormalized pitch/energy curves overlaid (the reference's
+    feature-inspection plot, rank_model/util.py:51-99)."""
+    plt = _plt()
+    p_min, p_max, p_mean, p_std = stats["pitch"]
+    e_min, e_max, e_mean, e_std = stats["energy"]
+    pitch_hz = pitch * p_std + p_mean
+    energy_v = energy * e_std + e_mean
+
+    fig, ax = plt.subplots(figsize=(10, 3))
+    ax.imshow(mel, aspect="auto", origin="lower", interpolation="none")
+    ax.set_xlabel("Time (frames)")
+    ax.set_title("Mel + pitch + energy")
+
+    ax1 = ax.twinx()
+    ax1.plot(pitch_hz, color="tomato", linewidth=2, label="pitch")
+    ax1.set_ylim(p_min * p_std + p_mean, p_max * p_std + p_mean)
+    ax1.set_ylabel("Pitch (Hz)", color="tomato")
+
+    ax2 = ax.twinx()
+    ax2.spines["right"].set_position(("axes", 1.08))
+    ax2.plot(energy_v, color="darkviolet", linewidth=2, label="energy")
+    ax2.set_ylim(e_min * e_std + e_mean, e_max * e_std + e_mean)
+    ax2.set_ylabel("Energy", color="darkviolet")
+
+    fig.tight_layout()
+    fig.savefig(save_path, bbox_inches="tight")
+    plt.close(fig)
+
+
 DEFAULT_COLORS = ["#7C00FE", "#F9E400", "#FFAF00", "#F5004F", "#00B2A9"]
 DEFAULT_MARKERS = ["o", "^", "s", "d"]
