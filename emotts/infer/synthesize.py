@@ -46,17 +46,26 @@ class Synthesizer:
         self.vocoder_params = vocoder_params
         self.intensity_bank = intensity_bank
         self.g2p = g2p or G2P(cfg.inference.lexicon_path or None)
-        self._mel_fn = jax.jit(self._mel_forward, static_argnames=("max_mel_len",))
+        self._mel_fn = jax.jit(
+            self._mel_forward,
+            static_argnames=("max_mel_len", "pace", "pitch_rate", "energy_rate"),
+        )
         self._voc_fn = jax.jit(self._vocode) if vocoder_params is not None else None
 
     # -- jitted cores ---------------------------------------------------
 
-    def _mel_forward(self, variables, phonemes, speakers, intensity, max_mel_len):
+    def _mel_forward(
+        self, variables, phonemes, speakers, intensity, max_mel_len,
+        pace, pitch_rate, energy_rate,
+    ):
         preds = self.model.apply(
             variables,
             phonemes,
             speakers,
             intensity=intensity,
+            pace=pace,
+            pitch_rate=pitch_rate,
+            energy_rate=energy_rate,
             max_mel_len=max_mel_len,
         )
         return preds[0], preds[7]  # mel (B, T, n_mels), mel_lens (B,)
@@ -84,6 +93,9 @@ class Synthesizer:
         phoneme_ids: np.ndarray,  # (P,)
         speakers: np.ndarray,  # (B,)
         intensity: np.ndarray,  # (B, P, n_emo)
+        pace: float = 1.0,  # prosody controls (reference: model kwargs at
+        pitch_rate: float = 1.0,  # fastspeech2/model.py:286-288)
+        energy_rate: float = 1.0,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched mel synthesis with predicted durations/pitch/energy."""
         p_bucket = pick_bucket(len(phoneme_ids), self.cfg.bucketing.phone_buckets)
@@ -100,6 +112,9 @@ class Synthesizer:
             jnp.asarray(speakers),
             jnp.asarray(inten),
             max_mel_len=self.cfg.fastspeech2.max_mel_len,
+            pace=pace,
+            pitch_rate=pitch_rate,
+            energy_rate=energy_rate,
         )
         return mel, mel_lens
 

@@ -142,6 +142,13 @@ def fused_resblock1(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, t, ch = x.shape
+    # VMEM budget: all-dilation weights live on-chip for the whole tile.
+    # fp32 weights at the vocoder's first MRF stage (k=11, C=256) are ~17 MB
+    # > VMEM; cast to bf16 there (matmuls accumulate fp32 regardless).
+    weight_bytes = (w1.size + w2.size) * 4
+    if weight_bytes > 6 * 1024 * 1024:
+        w1 = w1.astype(jnp.bfloat16)
+        w2 = w2.astype(jnp.bfloat16)
     k = w1.shape[1]
     halo = block_halo(k, dilations)
     tile = min(tile, max(128, t))

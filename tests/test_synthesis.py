@@ -96,3 +96,19 @@ def test_vocoder_npz_roundtrip(synth, tmp_path):
     w1 = np.asarray(s.vocoder.apply(s.vocoder_params, mel))
     w2 = np.asarray(s.vocoder.apply(loaded, mel))
     np.testing.assert_allclose(w1, w2, rtol=1e-6)
+
+
+def test_prosody_controls(synth):
+    cfg, s = synth
+    ids = s.text_to_phoneme_ids("testing prosody controls")
+    speakers = np.zeros(2, np.int32)
+    intensity = np.zeros((2, len(ids), 3), np.float32)
+    _, lens_fast = s.synthesize_mels(ids, speakers, intensity, pace=0.5)
+    _, lens_norm = s.synthesize_mels(ids, speakers, intensity, pace=1.0)
+    # pace scales predicted durations → fewer frames at pace 0.5
+    assert (np.asarray(lens_fast) <= np.asarray(lens_norm)).all()
+    assert np.asarray(lens_fast).sum() < np.asarray(lens_norm).sum()
+
+    mel1, _ = s.synthesize_mels(ids, speakers, intensity, pitch_rate=1.0)
+    mel2, _ = s.synthesize_mels(ids, speakers, intensity, pitch_rate=2.0)
+    assert not np.allclose(np.asarray(mel1), np.asarray(mel2))
