@@ -70,16 +70,18 @@ def main() -> None:
         wav = jax.lax.map(lambda m: vocoder.apply(voc_params, m), chunks)
         return wav.reshape(batch, -1), mel_lens
 
-    # warmup / compile
-    wav, mel_lens = synth(variables, voc_params, phonemes, speakers, intensity)
-    wav.block_until_ready()
+    # warmup / compile (device_get forces a real execution round trip —
+    # block_until_ready alone under-reports on the tunneled axon platform)
+    for _ in range(2):
+        wav, mel_lens = synth(variables, voc_params, phonemes, speakers, intensity)
+        jax.device_get(mel_lens)
 
-    # timed runs
+    # timed runs, each synchronized by a small host transfer
     n_iters = 10
     t0 = time.perf_counter()
     for _ in range(n_iters):
         wav, mel_lens = synth(variables, voc_params, phonemes, speakers, intensity)
-    wav.block_until_ready()
+        jax.device_get(mel_lens)
     wall = (time.perf_counter() - t0) / n_iters
 
     # audio seconds synthesized per pass: every frame of the static capacity

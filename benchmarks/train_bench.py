@@ -38,12 +38,12 @@ def bench_rank(cfg, mesh) -> dict:
     }
     sharded = shard_batch(mesh, batch)
     trainer.state, m = trainer._train_step(trainer.state, dict(sharded))
-    jax.block_until_ready(m)
+    jax.device_get(m)  # full round trip; block_until_ready under-reports on axon
     n = 10
     t0 = time.perf_counter()
     for _ in range(n):
         trainer.state, m = trainer._train_step(trainer.state, dict(sharded))
-    jax.block_until_ready(m)
+        jax.device_get(m)
     dt = (time.perf_counter() - t0) / n
     return {
         "metric": "rank_train_step",
@@ -83,14 +83,14 @@ def bench_fs2(cfg, mesh) -> dict:
     trainer.state, m = trainer._train_step(
         trainer.state, trainer.extractor_params, dict(sharded)
     )
-    jax.block_until_ready(m)
+    jax.device_get(m)  # full round trip; block_until_ready under-reports on axon
     n = 10
     t0 = time.perf_counter()
     for _ in range(n):
         trainer.state, m = trainer._train_step(
             trainer.state, trainer.extractor_params, dict(sharded)
         )
-    jax.block_until_ready(m)
+        jax.device_get(m)
     dt = (time.perf_counter() - t0) / n
     return {
         "metric": "fs2_train_step",
