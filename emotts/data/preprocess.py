@@ -68,13 +68,15 @@ class _Extracted:
     transcript: str
     phones: List[str]
     durations: np.ndarray
-    mel: np.ndarray  # (n_mels, T)
+    mel: Optional[np.ndarray]  # (n_mels, T); None when deferred to device
     pitch: np.ndarray  # (T,)
-    energy: np.ndarray  # (T,)
+    energy: Optional[np.ndarray]  # (T,)
+    audio: Optional[np.ndarray] = None  # trimmed waveform (deferred-mel mode)
 
 
 def _extract_one(
-    cfg: Config, speaker: str, emotion: str, audio_path: str
+    cfg: Config, speaker: str, emotion: str, audio_path: str,
+    defer_mel: bool = False,
 ) -> Optional[_Extracted]:
     audio = cfg.audio
     data = cfg.data
@@ -133,15 +135,20 @@ def _extract_one(
 
     pitch = interpolate_unvoiced(pitch[:total]).astype(np.float32)
 
-    # mel/energy computed later (possibly batched on device); keep audio
-    mel, energy = mel_energy_np(y, audio)
-    mel = mel[:, :total]
-    energy = energy[:total]
+    if defer_mel:
+        # mel/energy computed on device in bucketed batches later
+        mel = energy = None
+    else:
+        mel, energy = mel_energy_np(y, audio)
+        mel = mel[:, :total].astype(np.float32)
+        energy = energy[:total].astype(np.float32)
+        if cfg.data.energy_averaging:
+            energy = expand_by_duration(
+                average_by_duration(energy, durations), durations
+            )
 
     if cfg.data.pitch_averaging:
         pitch = expand_by_duration(average_by_duration(pitch, durations), durations)
-    if cfg.data.energy_averaging:
-        energy = expand_by_duration(average_by_duration(energy, durations), durations)
 
     return _Extracted(
         speaker=speaker,
@@ -152,13 +159,65 @@ def _extract_one(
         transcript=transcript,
         phones=phones,
         durations=durations.astype(np.int64),
-        mel=mel.astype(np.float32),
+        mel=mel,
         pitch=pitch,
-        energy=energy.astype(np.float32),
+        energy=energy,
+        audio=y if defer_mel else None,
     )
 
 
-def feature_extraction(cfg: Config, speaker: str, emotion: str) -> int:
+def _device_mel_batch(cfg: Config, extracted: List["_Extracted"]) -> None:
+    """Fill in mel/energy for deferred items via the fused device kernel
+    (emotts.audio.mel.mel_energy_jax), bucketed by audio length so jit
+    compiles once per bucket (SURVEY.md §2.2-E1: device-resident batch
+    feature extraction)."""
+    import jax
+
+    from emotts.audio.mel import mel_energy_jax
+
+    hop = cfg.audio.hop_length
+    sample_buckets = sorted(b * hop for b in cfg.bucketing.frame_buckets)
+
+    def bucket_of(n):
+        for sb in sample_buckets:
+            if n <= sb:
+                return sb
+        return ((n + hop - 1) // hop) * hop  # rare overflow: exact multiple
+
+    groups: dict = {}
+    for idx, ex in enumerate(extracted):
+        if ex.mel is not None:
+            continue
+        groups.setdefault(bucket_of(len(ex.audio)), []).append(idx)
+
+    for sb, idxs in groups.items():
+        for chunk_start in range(0, len(idxs), 64):
+            chunk = idxs[chunk_start : chunk_start + 64]
+            batch = np.zeros((len(chunk), sb), np.float32)
+            lengths = np.zeros((len(chunk),), np.int32)
+            for j, idx in enumerate(chunk):
+                y = extracted[idx].audio
+                batch[j, : len(y)] = y
+                lengths[j] = len(y)
+            mel_b, energy_b, _ = mel_energy_jax(batch, lengths, cfg.audio)
+            mel_b = np.asarray(jax.device_get(mel_b))
+            energy_b = np.asarray(jax.device_get(energy_b))
+            for j, idx in enumerate(chunk):
+                ex = extracted[idx]
+                total = int(ex.durations.sum())
+                ex.mel = mel_b[j, :, :total].astype(np.float32)
+                energy = energy_b[j, :total].astype(np.float32)
+                if cfg.data.energy_averaging:
+                    energy = expand_by_duration(
+                        average_by_duration(energy, ex.durations), ex.durations
+                    )
+                ex.energy = energy
+                ex.audio = None
+
+
+def feature_extraction(
+    cfg: Config, speaker: str, emotion: str, device_mel: bool = False
+) -> int:
     """Process one (speaker, emotion) group; returns #utterances written.
 
     Normalization: z-score pitch/energy with per-group Welford stats over
@@ -178,14 +237,15 @@ def feature_extraction(cfg: Config, speaker: str, emotion: str) -> int:
     workers = max(1, (os.cpu_count() or 2) - 1)
     with cf.ThreadPoolExecutor(max_workers=workers) as pool:
         results = pool.map(
-            lambda p: _extract_one(cfg, speaker, emotion, p), wav_paths
+            lambda p: _extract_one(cfg, speaker, emotion, p, defer_mel=device_mel),
+            wav_paths,
         )
-        for ex in results:
-            if ex is None:
-                continue
-            pitch_stats.update(remove_outliers(ex.pitch))
-            energy_stats.update(remove_outliers(ex.energy))
-            extracted.append(ex)
+        extracted = [ex for ex in results if ex is not None]
+    if device_mel:
+        _device_mel_batch(cfg, extracted)
+    for ex in extracted:
+        pitch_stats.update(remove_outliers(ex.pitch))
+        energy_stats.update(remove_outliers(ex.energy))
 
     if not extracted:
         return 0
@@ -227,12 +287,17 @@ def feature_extraction(cfg: Config, speaker: str, emotion: str) -> int:
     return len(extracted)
 
 
-def preprocess_all(cfg: Config, verbose: bool = True) -> Dict[str, int]:
-    """Run feature extraction for every (speaker, emotion) present on disk."""
+def preprocess_all(
+    cfg: Config, verbose: bool = True, device_mel: bool = False
+) -> Dict[str, int]:
+    """Run feature extraction for every (speaker, emotion) present on disk.
+
+    ``device_mel=True`` computes mel/energy on the accelerator in bucketed
+    batches instead of per-utterance numpy FFTs on the host."""
     counts: Dict[str, int] = {}
     for speaker in cfg.data.speakers:
         for emotion in cfg.data.emotions:
-            n = feature_extraction(cfg, speaker, emotion)
+            n = feature_extraction(cfg, speaker, emotion, device_mel=device_mel)
             if n:
                 counts[f"{speaker}/{emotion}"] = n
                 if verbose:

@@ -158,3 +158,25 @@ def test_pick_bucket():
     assert pick_bucket(100, [64, 128, 256]) == 128
     assert pick_bucket(64, [64, 128]) == 64
     assert pick_bucket(300, [64, 128, 256]) == -1
+
+
+def test_device_mel_preprocess_matches_host(tmp_path):
+    """Deferred device-batched mel/energy must match the host numpy path."""
+    from tests.synthetic_corpus import make_corpus
+
+    cfg_a = make_corpus(str(tmp_path / "a"), utts_per_emotion=3, seed=7)
+    cfg_b = make_corpus(str(tmp_path / "b"), utts_per_emotion=3, seed=7)
+    preprocess_all(cfg_a, verbose=False, device_mel=False)
+    preprocess_all(cfg_b, verbose=False, device_mel=True)
+
+    files_a = sorted(Path(cfg_a.data.preprocessed_path).glob("*/*.npz"))
+    files_b = sorted(Path(cfg_b.data.preprocessed_path).glob("*/*.npz"))
+    assert len(files_a) == len(files_b) > 0
+    for fa, fb in zip(files_a, files_b):
+        a = np.load(fa, allow_pickle=True)
+        b = np.load(fb, allow_pickle=True)
+        assert a["mel"].shape == b["mel"].shape
+        # fp32 DFT matmul vs float64 FFT tolerance (see test_audio_mel)
+        assert np.abs(a["mel"] - b["mel"]).mean() < 5e-3
+        np.testing.assert_allclose(a["energy"], b["energy"], atol=2e-2)
+        np.testing.assert_array_equal(a["durations"], b["durations"])
