@@ -13,9 +13,14 @@ target; the PyTorch reference publishes no numbers of its own, SURVEY.md §6).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache: the synthesis graph compiles through the
+# remote-TPU tunnel in ~10 min cold; warm runs start in seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 
 def main() -> None:
