@@ -93,7 +93,23 @@ def main(argv=None) -> int:
         )
         template = init_rank_params(cfg, build_rank_model(cfg), 0)
         rank_params = load_best_params(rank_exp, template)
-        exp = FS2Trainer(cfg, extractor_params_from_rank(rank_params)).fit()
+        vocoder = vocoder_params = None
+        if cfg.inference.vocoder_checkpoint and os.path.exists(
+            cfg.inference.vocoder_checkpoint
+        ):
+            from emotts.infer.synthesize import load_vocoder_checkpoint
+            from emotts.nn.hifigan import HiFiGANGenerator
+
+            vocoder = HiFiGANGenerator(in_channels=cfg.audio.n_mels)
+            vocoder_params = load_vocoder_checkpoint(
+                cfg.inference.vocoder_checkpoint, cfg
+            )
+        exp = FS2Trainer(
+            cfg,
+            extractor_params_from_rank(rank_params),
+            vocoder=vocoder,
+            vocoder_params=vocoder_params,
+        ).fit()
         print(f"[train-fs2] experiment: {exp}")
 
     elif args.command == "synthesize":
