@@ -60,7 +60,9 @@ def main() -> None:
         rng.standard_normal((batch, n_phones, cfg.n_emotions)).astype(np.float32)
     )
 
-    voc_chunk = 30  # vocoder activations are huge post-upsample; bound HBM
+    # whole-batch vocoding: at 256-frame capacity the activations fit HBM and
+    # avoiding lax.map serialization is ~22% faster (measured; BENCH_NOTES.md)
+    voc_chunk = 60
 
     @jax.jit
     def synth(variables, voc_params, phonemes, speakers, intensity):

@@ -15,6 +15,7 @@ re-designed for TPU:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -22,6 +23,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from emotts.nn.blocks import FFTStack, sequence_mask
+
+# exact (erf) GELU — the torch nn.GELU default the reference uses
+# (rank_model/model.py:30); jax's default is the tanh approximation
+_gelu_exact = functools.partial(nn.gelu, approximate=False)
 
 
 class IntensityExtractor(nn.Module):
@@ -63,7 +68,7 @@ class IntensityExtractor(nn.Module):
             n_heads=self.n_heads,
             ffn_dim=self.hidden_dim * self.ffn_mult,
             kernel_sizes=(self.kernel_size, self.kernel_size),
-            activation=nn.gelu,
+            activation=_gelu_exact,
             dropout=self.dropout,
             normalize_before=False,
             ffn_internal_dropout=True,

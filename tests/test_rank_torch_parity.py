@@ -1,0 +1,156 @@
+"""RankModel numerical parity vs an independent PyTorch implementation.
+
+Builds the published architecture in torch (MHA + conv-FFN transformer with
+post-norm, emotion embedding added after the stack, masked mean pooling,
+bias-free rank projector), converts its weights with
+emotts.nn.convert.rank_params_from_torch, and checks outputs AND the total
+loss match — the fixed-seed loss-parity gate of BASELINE config 2.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+import torch.nn.functional as F  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from emotts.losses import rank_loss  # noqa: E402
+from emotts.nn import RankModel  # noqa: E402
+from emotts.nn.convert import rank_params_from_torch  # noqa: E402
+
+H, HEADS, LAYERS, KERNEL, N_MELS, N_EMO = 32, 2, 2, 9, 14, 3
+B, T = 3, 20
+
+
+class TLayer(tnn.Module):
+    """Independent torch encoder layer matching the published block: MHA →
+    post-norm → conv(k)→GELU→conv(k) → post-norm, dropout omitted (eval)."""
+
+    def __init__(self):
+        super().__init__()
+        self.self_attn = tnn.MultiheadAttention(H, HEADS, batch_first=True)
+        self.conv1 = tnn.Conv1d(H, H * 2, KERNEL, padding=KERNEL // 2)
+        self.conv2 = tnn.Conv1d(H * 2, H, KERNEL, padding=KERNEL // 2)
+        self.norm1 = tnn.LayerNorm(H)
+        self.norm2 = tnn.LayerNorm(H)
+
+    def forward(self, x, key_padding_mask):
+        a, _ = self.self_attn(x, x, x, key_padding_mask=key_padding_mask)
+        x = self.norm1(x + a)
+        y = self.conv2(F.gelu(self.conv1(x.transpose(1, 2)))).transpose(1, 2)
+        return self.norm2(x + y)
+
+
+class TRank(tnn.Module):
+    def __init__(self):
+        super().__init__()
+
+        class Ext(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.input_proj = tnn.Linear(N_MELS + 2, H)
+                self.fft_block = tnn.Module()
+                self.fft_block.layers = tnn.ModuleList(
+                    [TLayer() for _ in range(LAYERS)]
+                )
+                self.emotion_embedding = tnn.Embedding(N_EMO, H)
+                self.classifier = tnn.Linear(H, N_EMO)
+
+            def forward(self, x, lengths, emotions):
+                t = x.shape[1]
+                pad = torch.arange(t)[None, :] >= lengths[:, None]
+                h = self.input_proj(x)
+                for layer in self.fft_block.layers:
+                    h = layer(h, key_padding_mask=pad)
+                h = h + self.emotion_embedding(emotions).unsqueeze(1)
+                h = h.masked_fill(pad.unsqueeze(-1), 0.0)
+                return self.classifier(h)
+
+        self.intensity_extractor = Ext()
+        self.projector = tnn.Linear(N_EMO, 1, bias=False)
+
+    def forward(self, emo_x, neu_x, emotions, lengths, lambdas):
+        li = lambdas[0][:, None, None]
+        lj = lambdas[1][:, None, None]
+        xi = li * emo_x + (1 - li) * neu_x
+        xj = lj * emo_x + (1 - lj) * neu_x
+        ii = self.intensity_extractor(xi, lengths, emotions)
+        ij = self.intensity_extractor(xj, lengths, emotions)
+        hi = ii.sum(1) / lengths[:, None].float()
+        hj = ij.sum(1) / lengths[:, None].float()
+        ri = self.projector(hi).squeeze(-1)
+        rj = self.projector(hj).squeeze(-1)
+        return li, lj, ii, ij, hi, hj, ri, rj
+
+
+@pytest.fixture(scope="module")
+def setup():
+    torch.manual_seed(0)
+    tmodel = TRank().eval()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables = rank_params_from_torch(sd, LAYERS, HEADS)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    jmodel = RankModel(
+        n_mels=N_MELS, n_heads=HEADS, n_emotions=N_EMO, n_layers=LAYERS,
+        hidden_dim=H, kernel_size=KERNEL, ffn_mult=2, dropout=0.0,
+    )
+    rng = np.random.default_rng(0)
+    emo_x = rng.standard_normal((B, T, N_MELS + 2)).astype(np.float32)
+    neu_x = rng.standard_normal((B, T, N_MELS + 2)).astype(np.float32)
+    emotions = np.array([1, 2, 1])
+    lengths = np.array([20, 16, 12])
+    lambdas = np.array([[0.8, 0.5, 0.2], [0.1, 0.9, 0.6]], np.float32)
+    return tmodel, jmodel, variables, (emo_x, neu_x, emotions, lengths, lambdas)
+
+
+def test_outputs_match(setup):
+    tmodel, jmodel, variables, (emo_x, neu_x, emotions, lengths, lambdas) = setup
+    with torch.no_grad():
+        t_out = tmodel(
+            torch.tensor(emo_x), torch.tensor(neu_x),
+            torch.tensor(emotions), torch.tensor(lengths),
+            torch.tensor(lambdas),
+        )
+    j_out = jmodel.apply(
+        variables, jnp.asarray(emo_x), jnp.asarray(neu_x),
+        jnp.asarray(emotions), jnp.asarray(lengths), jnp.asarray(lambdas),
+    )
+    # frame intensities, pooled features, rank scores
+    for idx, name in [(2, "I_i"), (3, "I_j"), (4, "h_i"), (5, "h_j"),
+                      (6, "r_i"), (7, "r_j")]:
+        np.testing.assert_allclose(
+            np.asarray(j_out[idx]), t_out[idx].numpy(),
+            rtol=2e-4, atol=2e-5, err_msg=name,
+        )
+
+
+def test_loss_matches(setup):
+    tmodel, jmodel, variables, (emo_x, neu_x, emotions, lengths, lambdas) = setup
+    with torch.no_grad():
+        t_out = tmodel(
+            torch.tensor(emo_x), torch.tensor(neu_x),
+            torch.tensor(emotions), torch.tensor(lengths),
+            torch.tensor(lambdas),
+        )
+    # torch loss with the published semantics
+    y = torch.tensor(emotions)
+    y0 = torch.zeros_like(y)
+    li, lj = t_out[0].squeeze(), t_out[1].squeeze()
+    t_mix = (
+        li * F.cross_entropy(t_out[4], y) + (1 - li) * F.cross_entropy(t_out[4], y0)
+        + lj * F.cross_entropy(t_out[5], y) + (1 - lj) * F.cross_entropy(t_out[5], y0)
+    ).mean()
+    pij = torch.sigmoid(t_out[6] - t_out[7])
+    ld = (li - lj + 1) / 2
+    t_rank = -(ld * torch.log(pij + 1e-8) + (1 - ld) * torch.log(1 - pij + 1e-8)).mean()
+    t_total = 0.1 * t_mix + 1.0 * t_rank
+
+    j_out = jmodel.apply(
+        variables, jnp.asarray(emo_x), jnp.asarray(neu_x),
+        jnp.asarray(emotions), jnp.asarray(lengths), jnp.asarray(lambdas),
+    )
+    j_total, _ = rank_loss(j_out, jnp.asarray(emotions), alpha=0.1, beta=1.0)
+    assert float(j_total) == pytest.approx(float(t_total), rel=1e-4)
