@@ -149,6 +149,10 @@ def fused_resblock1(
     if weight_bytes > 6 * 1024 * 1024:
         w1 = w1.astype(jnp.bfloat16)
         w2 = w2.astype(jnp.bfloat16)
+    # wide stages keep ~6 live (L, C) fp32 buffers in VMEM next to the
+    # weights; shrink the tile so the total stays under the 16 MB budget
+    if ch > 128:
+        tile = min(tile, 512)
     k = w1.shape[1]
     halo = block_halo(k, dilations)
     tile = min(tile, max(128, t))
