@@ -37,9 +37,11 @@ LRELU_SLOPE = 0.1
 
 
 def block_halo(kernel_size: int, dilations: Sequence[int]) -> int:
-    """Total one-sided receptive field of the chained block."""
+    """Total one-sided receptive field of the chained block, rounded up to
+    the TPU sublane tiling (8) so DMA slice shapes stay aligned."""
     r = (kernel_size - 1) // 2
-    return sum(r * d + r for d in dilations)
+    h = sum(r * d + r for d in dilations)
+    return (h + 7) // 8 * 8
 
 
 def resblock1_reference(
@@ -142,10 +144,19 @@ def fused_resblock1(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, t, ch = x.shape
-    # VMEM budget: all-dilation weights live on-chip for the whole tile.
-    # fp32 weights at the vocoder's first MRF stage (k=11, C=256) are ~17 MB
-    # > VMEM; cast to bf16 there (matmuls accumulate fp32 regardless).
+    # VMEM budget: blocked VMEM operands are double-buffered by the Mosaic
+    # pipeline, so the weights cost 2× their size on-chip.  When the
+    # all-dilation weight set would blow the ~16 MB budget (the vocoder's
+    # k=11, C=256 stage), chain one kernel call per dilation instead —
+    # each stage still fuses its 6 ops into one HBM round trip.
     weight_bytes = (w1.size + w2.size) * 4
+    if len(dilations) > 1 and 2 * weight_bytes > 10 * 1024 * 1024:
+        for i, d in enumerate(dilations):
+            x = fused_resblock1(
+                x, w1[i : i + 1], b1[i : i + 1], w2[i : i + 1], b2[i : i + 1],
+                (d,), tile=tile, interpret=interpret,
+            )
+        return x
     if weight_bytes > 6 * 1024 * 1024:
         w1 = w1.astype(jnp.bfloat16)
         w2 = w2.astype(jnp.bfloat16)

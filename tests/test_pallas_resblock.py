@@ -19,8 +19,10 @@ def _setup(b=2, t=300, ch=32, k=3, n_d=3, seed=0):
 
 
 def test_block_halo():
-    assert block_halo(3, (1, 3, 5)) == (1 + 1) + (3 + 1) + (5 + 1)
-    assert block_halo(11, (1, 3, 5)) == (5 + 5) + (15 + 5) + (25 + 5)
+    # receptive field rounded up to the 8-sublane tiling
+    assert block_halo(3, (1, 3, 5)) == 16  # 12 → 16
+    assert block_halo(11, (1, 3, 5)) == 64  # 60 → 64
+    assert block_halo(3, (1,)) == 8  # 2 → 8
 
 
 @pytest.mark.parametrize("k,dilations", [(3, (1, 3, 5)), (7, (1, 3, 5)), (3, (1, 3))])
