@@ -180,3 +180,17 @@ def test_device_mel_preprocess_matches_host(tmp_path):
         assert np.abs(a["mel"] - b["mel"]).mean() < 5e-3
         np.testing.assert_allclose(a["energy"], b["energy"], atol=2e-2)
         np.testing.assert_array_equal(a["durations"], b["durations"])
+
+
+def test_match_transcript_pairing(tmp_path):
+    from tests.synthetic_corpus import make_corpus
+
+    cfg = make_corpus(str(tmp_path / "mt"), utts_per_emotion=4, seed=3)
+    cfg.data.match_transcript = True
+    cfg.data.test_utts_per_emotion = 1
+    preprocess_all(cfg, verbose=False)
+    train, test = build_rank_pair_lists(cfg)
+    # matched-transcript mode pairs identical sentence ids
+    for line in train + test:
+        _, _, emo_id, neu_id = line.split("|")
+        assert emo_id == neu_id

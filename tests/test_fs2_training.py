@@ -83,3 +83,35 @@ def test_fs2_loss_decreases_on_fixed_batch(corpus_cfg):
         losses.append(float(jax.device_get(metrics["total_loss"])))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_fs2_vocoded_validation_samples(corpus_cfg, tmp_path):
+    """With a vocoder attached, validation dumps pred/GT wavs (the
+    reference's synthesize_sample behavior, fastspeech2/util.py:103-119)."""
+    import jax.numpy as jnp
+
+    from emotts.nn.hifigan import HiFiGANGenerator
+
+    cfg = corpus_cfg
+    rank_params = init_rank_params(cfg, build_rank_model(cfg), 0)
+    voc = HiFiGANGenerator(
+        in_channels=cfg.audio.n_mels,
+        upsample_initial_channel=16,
+        upsample_rates=(8, 8, 2, 2),
+        upsample_kernel_sizes=(16, 16, 4, 4),
+        resblock_kernel_sizes=(3,),
+        resblock_dilations=((1,),),
+    )
+    voc_params = voc.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, cfg.audio.n_mels)))
+    trainer = FS2Trainer(
+        cfg, extractor_params_from_rank(rank_params), mesh=_small_mesh(),
+        vocoder=voc, vocoder_params=voc_params,
+    )
+    loader = trainer._loader("valid", shuffle=False)
+    exp = tmp_path / "exp"
+    (exp / "wavs").mkdir(parents=True)
+    trainer.valid_epoch(loader, epoch=0, exp_path=str(exp), plot_every=1)
+    wavs = list((exp / "wavs").glob("epoch_0_sample_*_*.wav"))
+    assert len(wavs) >= 2
+    assert any("pred" in w.name for w in wavs)
+    assert any("gt" in w.name for w in wavs)
