@@ -145,7 +145,8 @@ def mel_energy_np(y: np.ndarray, cfg: AudioConfig) -> Tuple[np.ndarray, np.ndarr
 
 @functools.lru_cache(maxsize=8)
 def _device_constants(sr, n_fft, hop, win_length, n_mels, f_min, f_max):
-    """Window, DFT basis and mel filterbank as device constants."""
+    """Window-folded DFT basis and mel filterbank (numpy; safe to cache —
+    they embed as trace-time constants wherever they're consumed)."""
     window = hann_window_periodic(win_length, n_fft)  # (n_fft,)
     n_bins = n_fft // 2 + 1
     k = np.arange(n_bins)[None, :]  # (1, n_bins)
@@ -154,7 +155,7 @@ def _device_constants(sr, n_fft, hop, win_length, n_mels, f_min, f_max):
     dft_real = (np.cos(angle) * window[:, None]).astype(np.float32)  # (n_fft, n_bins)
     dft_imag = (np.sin(angle) * window[:, None]).astype(np.float32)
     fb = mel_filterbank(sr, n_fft, n_mels, f_min, f_max).T  # (n_bins, n_mels)
-    return jnp.asarray(dft_real), jnp.asarray(dft_imag), jnp.asarray(fb)
+    return dft_real, dft_imag, fb
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -12,7 +12,6 @@ and averaged — yielding prototypes of shape
 from __future__ import annotations
 
 import os
-from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
 import jax

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import re
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 from emotts.text.cleaners import clean_text
 from emotts.text.vocab import filter_to_vocab, phoneme_to_sequence

@@ -16,10 +16,9 @@ whole step); PostNet BatchNorm stats thread through TrainState.
 
 from __future__ import annotations
 
-import functools
 import os
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,9 +15,7 @@ TPU design:
 
 from __future__ import annotations
 
-import functools
 import os
-from pathlib import Path
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -9,8 +9,7 @@ Matplotlib is imported lazily with the Agg backend so headless runs work.
 
 from __future__ import annotations
 
-from pathlib import Path
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
