@@ -160,6 +160,28 @@ def fused_resblock1(
     if weight_bytes > 6 * 1024 * 1024:
         w1 = w1.astype(jnp.bfloat16)
         w2 = w2.astype(jnp.bfloat16)
+    # Mosaic requires DMA slices lane-aligned (128 channels).  Zero-pad
+    # narrow stages: the padded channels stay exactly 0 through the block
+    # (zero weights/biases, leaky_relu(0)=0, zero residual) and the MXU time
+    # is unchanged (lanes were padded internally anyway).
+    if ch % 128 != 0:
+        ch_pad = (ch + 127) // 128 * 128
+        extra = ch_pad - ch
+
+        def pad_w(w):
+            return jnp.pad(w, ((0, 0), (0, 0), (0, extra), (0, extra)))
+
+        out = fused_resblock1(
+            jnp.pad(x, ((0, 0), (0, 0), (0, extra))),
+            pad_w(w1),
+            jnp.pad(b1, ((0, 0), (0, extra))),
+            pad_w(w2),
+            jnp.pad(b2, ((0, 0), (0, extra))),
+            dilations,
+            tile=tile,
+            interpret=interpret,
+        )
+        return out[..., :ch]
     # wide stages keep ~6 live (L, C) fp32 buffers in VMEM next to the
     # weights; shrink the tile so the total stays under the 16 MB budget
     if ch > 128:

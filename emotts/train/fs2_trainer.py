@@ -111,13 +111,20 @@ class FS2Trainer:
         self.tx = make_optimizer(cfg.train_fs2)
 
         variables = init_fs2_variables(cfg, self.model, cfg.train_fs2.seed)
+        # heavy weights shard over the model axis (no-op layout at model=1)
+        from emotts.parallel.tp import shard_params_tp
+
+        params = shard_params_tp(variables["params"], self.mesh)
         state = create_train_state(
-            variables["params"],
+            params,
             self.tx,
             cfg.train_fs2.seed,
-            batch_stats=variables["batch_stats"],
+            batch_stats=replicate(self.mesh, variables["batch_stats"]),
         )
-        self.state = replicate(self.mesh, state)
+        self.state = state.replace(
+            step=replicate(self.mesh, state.step),
+            rng=replicate(self.mesh, state.rng),
+        )
         loss_cfg = cfg.loss
 
         def intensity_rep(ext_params, batch):

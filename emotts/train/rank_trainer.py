@@ -69,8 +69,16 @@ class RankTrainer:
         self.model = build_rank_model(cfg)
         self.tx = make_optimizer(cfg.train_rank)
         params = init_rank_params(cfg, self.model, cfg.train_rank.seed)
+        # heavy weights shard over the model axis (no-op layout at model=1);
+        # the optimizer state inherits the placement from the params
+        from emotts.parallel.tp import shard_params_tp
+
+        params = shard_params_tp(params, self.mesh)
         state = create_train_state(params, self.tx, cfg.train_rank.seed)
-        self.state = replicate(self.mesh, state)
+        self.state = state.replace(
+            step=replicate(self.mesh, state.step),
+            rng=replicate(self.mesh, state.rng),
+        )
         alpha, beta = cfg.rank_model.alpha, cfg.rank_model.beta
 
         def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
