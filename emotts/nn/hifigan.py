@@ -82,31 +82,42 @@ class ResBlock1(nn.Module):
     kernel_size: int
     dilations: Tuple[int, ...] = (1, 3, 5)
     use_pallas: bool = False
+    pack_factor: int = 1  # >1: polyphase time-packing (emotts.ops.polyphase)
+
+    def _stacked_params(self):
+        k, n_d = self.kernel_size, len(self.dilations)
+
+        def p(name, shape):
+            return self.param(name, nn.initializers.normal(0.01), shape)
+
+        def pb(name, shape):
+            return self.param(name, nn.initializers.zeros, shape)
+
+        w1 = jnp.stack(
+            [p(f"convs1_{i}_kernel", (k, self.channels, self.channels))
+             for i in range(n_d)]
+        )
+        b1 = jnp.stack([pb(f"convs1_{i}_bias", (self.channels,)) for i in range(n_d)])
+        w2 = jnp.stack(
+            [p(f"convs2_{i}_kernel", (k, self.channels, self.channels))
+             for i in range(n_d)]
+        )
+        b2 = jnp.stack([pb(f"convs2_{i}_bias", (self.channels,)) for i in range(n_d)])
+        return w1, b1, w2, b2
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k = self.kernel_size
+        if self.pack_factor > 1 and x.shape[1] % self.pack_factor == 0:
+            from emotts.ops.polyphase import packed_resblock1
+
+            return packed_resblock1(
+                x, *self._stacked_params(), self.dilations, self.pack_factor
+            )
         if self.use_pallas:
             from emotts.ops.resblock import fused_resblock1
 
-            def p(name, shape):
-                return self.param(name, nn.initializers.normal(0.01), shape)
-
-            def pb(name, shape):
-                return self.param(name, nn.initializers.zeros, shape)
-
-            n_d = len(self.dilations)
-            w1 = jnp.stack(
-                [p(f"convs1_{i}_kernel", (k, self.channels, self.channels))
-                 for i in range(n_d)]
-            )
-            b1 = jnp.stack([pb(f"convs1_{i}_bias", (self.channels,)) for i in range(n_d)])
-            w2 = jnp.stack(
-                [p(f"convs2_{i}_kernel", (k, self.channels, self.channels))
-                 for i in range(n_d)]
-            )
-            b2 = jnp.stack([pb(f"convs2_{i}_bias", (self.channels,)) for i in range(n_d)])
-            return fused_resblock1(x, w1, b1, w2, b2, self.dilations)
+            return fused_resblock1(x, *self._stacked_params(), self.dilations)
         for i, d in enumerate(self.dilations):
             w1 = self.param(
                 "convs1_%d_kernel" % i,
@@ -136,6 +147,7 @@ class HiFiGANGenerator(nn.Module):
     resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
     resblock_dilations: Tuple[Tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
     use_pallas_resblocks: bool = False  # fused MRF kernels (TPU only)
+    time_packed_resblocks: bool = False  # polyphase packing for C<128 stages
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
@@ -160,9 +172,13 @@ class HiFiGANGenerator(nn.Module):
             for j, (k, dil) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilations)
             ):
+                pack = 1
+                if self.time_packed_resblocks and out_ch < 128:
+                    pack = 128 // out_ch
                 y = ResBlock1(
                     out_ch, k, tuple(dil),
                     use_pallas=self.use_pallas_resblocks,
+                    pack_factor=pack,
                     name=f"resblock_{i}_{j}",
                 )(x)
                 acc = y if acc is None else acc + y

@@ -1,0 +1,111 @@
+"""Polyphase time-packing: full-lane matmuls for narrow-channel convs.
+
+The HiFi-GAN vocoder's late stages run 1-D convs at 32–64 channels over very
+long time axes.  On TPU the MXU processes 128 lanes per cycle, so a C=32
+conv wastes 15/16 of the systolic array.  This module **losslessly**
+re-expresses such convs at C·F channels (F = 128 // C) by folding F
+consecutive time steps into the channel axis (space-to-depth on time) and
+transforming the weights accordingly:
+
+    y[t] = Σ_j x[t + (j−r)·d] · W[j]            (dilation-d conv, k taps)
+    t = F·m + p   ⇒   y'[m] = Σ_q x'[m+q] · W'_q
+
+with W'_q a (F·C, F·C) block matrix scattering each original tap to the
+(input-phase, output-phase) block it lands in.  FLOPs grow by the block
+sparsity of W', but effective MXU throughput grows by F², a net win for
+C < 128 (measured; see BENCH_NOTES.md).
+
+All ops in the HiFi-GAN ResBlock (leaky-relu, bias add, residual) are
+elementwise and commute with the packing, so whole MRF stages run packed.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def pack_time(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """(B, T, C) → (B, T/F, F·C); x'[m, p·C + c] = x[F·m + p, c]."""
+    b, t, c = x.shape
+    assert t % factor == 0, (t, factor)
+    return x.reshape(b, t // factor, factor * c)
+
+
+def unpack_time(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Inverse of pack_time."""
+    b, m, fc = x.shape
+    return x.reshape(b, m * factor, fc // factor)
+
+
+def pack_conv_weights(
+    w: np.ndarray,  # (k, C, C) flax layout (tap, in, out)
+    dilation: int,
+    factor: int,
+) -> Tuple[jnp.ndarray, int, int]:
+    """Transform conv weights into the packed domain.
+
+    Returns (w_packed (k', F·C, F·C), pad_lo, pad_hi) such that
+        y' = conv(x', w_packed, padding=(pad_lo, pad_hi))
+    equals the packed original conv output.
+    """
+    k, c_in, c_out = w.shape
+    assert c_in == c_out
+    r = (k - 1) // 2
+    f = factor
+
+    offsets = []
+    for p in range(f):  # output phase
+        for j in range(k):
+            offsets.append(p + (j - r) * dilation)
+    q_min = min(o // f for o in offsets)
+    q_max = max(o // f for o in offsets)
+    k_packed = q_max - q_min + 1
+
+    wp = jnp.zeros((k_packed, f * c_in, f * c_out), w.dtype)
+    for p in range(f):
+        for j in range(k):
+            o = p + (j - r) * dilation
+            q = o // f
+            pin = o % f
+            wp = wp.at[
+                q - q_min,
+                pin * c_in : (pin + 1) * c_in,
+                p * c_out : (p + 1) * c_out,
+            ].set(jnp.asarray(w[j]))
+    return wp, -q_min, q_max
+
+
+def packed_conv(x: jnp.ndarray, wp: jnp.ndarray, pad_lo: int, pad_hi: int) -> jnp.ndarray:
+    """Packed-domain conv: (B, M, F·C) × (k', F·C, F·C)."""
+    return lax.conv_general_dilated(
+        x, wp, (1,), [(pad_lo, pad_hi)], dimension_numbers=("NWC", "WIO", "NWC")
+    )
+
+
+def packed_resblock1(
+    x: jnp.ndarray,  # (B, T, C), T divisible by factor
+    w1: jnp.ndarray,  # (n_d, k, C, C)
+    b1: jnp.ndarray,  # (n_d, C)
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    dilations: Tuple[int, ...],
+    factor: int,
+    lrelu_slope: float = 0.1,
+) -> jnp.ndarray:
+    """HiFi-GAN ResBlock1 computed in the packed time domain (exact)."""
+    xp = pack_time(x, factor)
+    for i, d in enumerate(dilations):
+        wp1, lo1, hi1 = pack_conv_weights(w1[i], d, factor)
+        wp2, lo2, hi2 = pack_conv_weights(w2[i], 1, factor)
+        bt1 = jnp.tile(b1[i], factor)
+        bt2 = jnp.tile(b2[i], factor)
+        y = jnp.where(xp > 0, xp, xp * lrelu_slope)
+        y = packed_conv(y, wp1.astype(y.dtype), lo1, hi1) + bt1
+        y = jnp.where(y > 0, y, y * lrelu_slope)
+        y = packed_conv(y, wp2.astype(y.dtype), lo2, hi2) + bt2
+        xp = xp + y
+    return unpack_time(xp, factor)

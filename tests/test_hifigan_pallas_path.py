@@ -31,3 +31,16 @@ def test_pallas_path_matches_xla_path():
     w_xla = np.asarray(gen_xla.apply(params, mel))
     w_pl = np.asarray(gen_pl.apply(params, mel))
     np.testing.assert_allclose(w_pl, w_xla, rtol=1e-4, atol=1e-5)
+
+
+def test_time_packed_path_matches_xla_path():
+    gen_xla = HiFiGANGenerator(**SMALL)
+    gen_tp = HiFiGANGenerator(**SMALL, time_packed_resblocks=True)
+    mel = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 8))
+    params = gen_xla.init(jax.random.PRNGKey(0), mel)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        gen_tp.init(jax.random.PRNGKey(0), mel)
+    )
+    w_xla = np.asarray(gen_xla.apply(params, mel))
+    w_tp = np.asarray(gen_tp.apply(params, mel))
+    np.testing.assert_allclose(w_tp, w_xla, rtol=1e-4, atol=1e-5)
