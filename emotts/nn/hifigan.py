@@ -148,6 +148,10 @@ class HiFiGANGenerator(nn.Module):
     resblock_dilations: Tuple[Tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
     use_pallas_resblocks: bool = False  # fused MRF kernels (TPU only)
     time_packed_resblocks: bool = False  # polyphase packing for C<128 stages
+    # sub-pixel formulation of the transposed convs (exactly equivalent,
+    # stride× fewer FLOPs than the input-dilated form); off switches back to
+    # the literal ConvTranspose lowering
+    subpixel_upsample: bool = True
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
@@ -166,7 +170,12 @@ class HiFiGANGenerator(nn.Module):
             )
             b_up = self.param(f"up_{i}_bias", nn.initializers.zeros, (out_ch,))
             x = nn.leaky_relu(x, LRELU_SLOPE)
-            x = _conv_transpose1d(x, w_up, u) + b_up
+            if self.subpixel_upsample:
+                from emotts.ops.polyphase import subpixel_conv_transpose
+
+                x = subpixel_conv_transpose(x, w_up.astype(x.dtype), u) + b_up
+            else:
+                x = _conv_transpose1d(x, w_up, u) + b_up
 
             acc = None
             for j, (k, dil) in enumerate(

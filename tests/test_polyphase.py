@@ -56,3 +56,17 @@ def test_packed_resblock_matches_reference(factor):
     ref = resblock1_reference(x, w1, b1, w2, b2, (1, 3, 5))
     got = packed_resblock1(x, w1, b1, w2, b2, (1, 3, 5), factor)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("cin,cout,k,s", [(16, 8, 16, 8), (8, 4, 4, 2), (12, 6, 16, 8)])
+def test_subpixel_conv_transpose_matches_dilated(cin, cout, k, s):
+    from emotts.nn.hifigan import _conv_transpose1d
+    from emotts.ops.polyphase import subpixel_conv_transpose
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 10, cin)).astype(np.float32))
+    kernel = jnp.asarray(rng.standard_normal((k, cin, cout)).astype(np.float32) * 0.2)
+    ref = _conv_transpose1d(x, kernel, s)
+    got = subpixel_conv_transpose(x, kernel, s)
+    assert got.shape == ref.shape == (2, 10 * s, cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
