@@ -46,7 +46,11 @@ def main() -> None:
     model = FastSpeech2(cfg.fastspeech2, n_speakers=cfg.n_speakers, dtype=compute_dtype)
     variables = init_fs2_variables(cfg, model, seed=0)
 
-    vocoder = HiFiGANGenerator(in_channels=cfg.audio.n_mels)
+    # fastest measured variant: sub-pixel upsampling + polyphase-packed
+    # narrow MRF stages (BENCH_NOTES.md)
+    vocoder = HiFiGANGenerator(
+        in_channels=cfg.audio.n_mels, time_packed_resblocks=True
+    )
     voc_params = vocoder.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 8, cfg.audio.n_mels))
     )
