@@ -38,6 +38,10 @@ def _parse(argv):
     parser.add_argument("--config", default=None, help="YAML config path")
     parser.add_argument("--checkpoint", default=None, help="(convert-vocoder) torch ckpt")
     parser.add_argument("--output", default=None, help="(convert-vocoder) output .npz")
+    parser.add_argument(
+        "--resume", default=None, metavar="EXP_PATH",
+        help="(train-*) resume full train state from an experiment directory",
+    )
     parser.add_argument("overrides", nargs="*", help="a.b.c=value overrides")
     return parser.parse_args(argv)
 
@@ -72,7 +76,7 @@ def main(argv=None) -> int:
     elif args.command == "train-rank":
         from emotts.train.rank_trainer import RankTrainer
 
-        exp = RankTrainer(cfg).fit()
+        exp = RankTrainer(cfg).fit(exp_path=args.resume, resume=bool(args.resume))
         print(f"[train-rank] experiment: {exp}")
 
     elif args.command == "bucketize":
@@ -109,7 +113,7 @@ def main(argv=None) -> int:
             extractor_params_from_rank(rank_params),
             vocoder=vocoder,
             vocoder_params=vocoder_params,
-        ).fit()
+        ).fit(exp_path=args.resume, resume=bool(args.resume))
         print(f"[train-fs2] experiment: {exp}")
 
     elif args.command == "synthesize":
