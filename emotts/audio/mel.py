@@ -203,14 +203,20 @@ def mel_energy_jax(
         return row[idx]  # (T, n_fft)
 
     frames = jax.vmap(reflect_gather)(y, lengths)  # (B, T, n_fft)
-    re = jnp.einsum("btn,nk->btk", frames, dft_real)  # window folded into basis
-    im = jnp.einsum("btn,nk->btk", frames, dft_imag)
+    # precision=HIGHEST: at default precision the TPU MXU computes these in
+    # bf16 passes, which breaks bit-comparability with the numpy golden path
+    # near the log-clip floor (BASELINE config 1 gate); fp32 accumulation is
+    # mandatory for the feature contract, and this frontend is not a
+    # training-throughput hot path.
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.einsum("btn,nk->btk", frames, dft_real, precision=hi)
+    im = jnp.einsum("btn,nk->btk", frames, dft_imag, precision=hi)
     spec = jnp.sqrt(re * re + im * im + 1e-30)  # (B, T, n_bins) magnitude
 
     n_frames_valid = 1 + lengths // hop  # (B,)
     frame_mask = jnp.arange(t)[None, :] < n_frames_valid[:, None]  # (B, T)
 
-    mel = jnp.einsum("btk,km->bmt", spec, fb)  # (B, n_mels, T)
+    mel = jnp.einsum("btk,km->bmt", spec, fb, precision=hi)  # (B, n_mels, T)
     mel = jnp.log(jnp.maximum(mel, cfg.clip_val))
     mel = jnp.where(
         frame_mask[:, None, :], mel, jnp.float32(np.log(cfg.clip_val))
