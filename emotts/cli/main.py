@@ -60,7 +60,7 @@ def main(argv=None) -> int:
         from emotts.data.preprocess import preprocess_all
         from emotts.data.splits import build_rank_pair_lists
 
-        counts = preprocess_all(cfg)
+        counts = preprocess_all(cfg, device_mel=cfg.data.device_mel)
         train, test = build_rank_pair_lists(cfg)
         print(
             f"[preprocess] {sum(counts.values())} utterances; "

@@ -104,9 +104,22 @@ _LTS_BY_LEN: List[tuple] = sorted(_LTS_RULES, key=lambda r: -len(r[0]))
 def letter_to_sound(word: str) -> List[str]:
     """Deterministic rule-based fallback for OOV words."""
     word = word.lower()
+    # collapse doubled consonants (letter → single sound)
+    word = re.sub(r"([bcdfgklmnprstvz])\1", r"\1", word)
     phones: List[str] = []
     i = 0
     while i < len(word):
+        # 'y' as a vowel: word-final (happy → IY0) or before a consonant
+        # (syllable → IH1)
+        if word[i] == "y" and len(word) > 1:
+            if i == len(word) - 1:
+                phones.append("IY0")
+                i += 1
+                continue
+            if i > 0 and word[i + 1] not in "aeiouy":
+                phones.append("ER0" if word[i + 1] == "r" else "IH1")
+                i += 2 if word[i + 1] == "r" else 1
+                continue
         for pat, ph in _LTS_BY_LEN:
             if word.startswith(pat, i):
                 # trailing silent 'e'
@@ -121,24 +134,65 @@ def letter_to_sound(word: str) -> List[str]:
     return phones
 
 
+# ---------------------------------------------------------------------------
+# Morphological decomposition: extend lexicon coverage to regular inflections
+# (plays, played, playing, quickly, ...) without listing every form.
+# ---------------------------------------------------------------------------
+
+_VOICELESS = {"P", "T", "K", "F", "TH", "S", "SH", "CH", "HH"}
+_SIBILANT = {"S", "Z", "SH", "ZH", "CH", "JH"}
+
+# packaged default lexicon (band-curated CMUdict-format vocabulary)
+BUNDLED_LEXICON = str(Path(__file__).parent / "data" / "lexicon_en.dict")
+
+
+def _strip_stressless(ph: str) -> str:
+    return ph.rstrip("012")
+
+
+def _s_suffix(base: List[str]) -> List[str]:
+    last = _strip_stressless(base[-1])
+    if last in _SIBILANT:
+        return base + ["IH0", "Z"]
+    if last in _VOICELESS:
+        return base + ["S"]
+    return base + ["Z"]
+
+
+def _ed_suffix(base: List[str]) -> List[str]:
+    last = _strip_stressless(base[-1])
+    if last in ("T", "D"):
+        return base + ["AH0", "D"]
+    if last in _VOICELESS:
+        return base + ["T"]
+    return base + ["D"]
+
+
 class G2P:
-    """Lexicon-first G2P with rule fallback.
+    """Lexicon-first G2P with morphological and rule fallbacks.
 
     Output contract matches the reference ``text2phoneme``
     (fastspeech2/util.py:20-27): cleaned text → ARPABET tokens → filtered to
-    the model vocabulary.
+    the model vocabulary.  A curated lexicon ships with the package
+    (``BUNDLED_LEXICON``); pass ``lexicon_path`` to extend/override it or
+    ``bundled=False`` for pure-rule behavior.
     """
 
-    def __init__(self, lexicon_path: Optional[str] = None):
+    def __init__(self, lexicon_path: Optional[str] = None, bundled: bool = True):
         self.lexicon: Dict[str, List[str]] = {}
+        if bundled:
+            self.load_lexicon(BUNDLED_LEXICON)
         if lexicon_path:
-            self.load_lexicon(lexicon_path)
+            self.load_lexicon(lexicon_path, override=True)
 
-    def load_lexicon(self, path: str) -> None:
+    def load_lexicon(self, path: str, override: bool = False) -> None:
         """Load a CMUdict-format lexicon: ``WORD  PH1 PH2 ...`` per line.
 
-        Alternate pronunciations (``WORD(2)``) are ignored; the first wins.
+        Alternate pronunciations (``WORD(2)``) are ignored; within one file
+        the first entry wins.  ``override=True`` lets this file's entries
+        replace previously loaded ones (user lexicon over bundled).
         """
+        seen = set()
         for line in Path(path).read_text(errors="ignore").splitlines():
             line = line.strip()
             if not line or line.startswith(";;;"):
@@ -147,11 +201,93 @@ class G2P:
             word = parts[0].lower()
             if "(" in word:  # alternate pronunciation
                 continue
-            self.lexicon[word] = parts[1:]
+            if word in seen:
+                continue
+            seen.add(word)
+            if override or word not in self.lexicon:
+                self.lexicon[word] = parts[1:]
+
+    def _morph(self, word: str) -> Optional[List[str]]:
+        """Regular-inflection decomposition against the lexicon."""
+        lex = self.lexicon
+
+        def base(*cands):
+            for c in cands:
+                if c and c in lex:
+                    return list(lex[c])
+            return None
+
+        if word.endswith("'s") or word.endswith("s'"):
+            b = base(word[:-2])
+            if b:
+                return _s_suffix(b)
+        if word.endswith("ies") and len(word) > 4:
+            b = base(word[:-3] + "y")
+            if b:
+                return _s_suffix(b)
+        if word.endswith("es"):
+            b = base(word[:-2])
+            if b and _strip_stressless(b[-1]) in _SIBILANT:
+                return _s_suffix(b)
+        if word.endswith("s") and not word.endswith("ss"):
+            b = base(word[:-1])
+            if b:
+                return _s_suffix(b)
+        if word.endswith("ied") and len(word) > 4:
+            b = base(word[:-3] + "y")
+            if b:
+                return _ed_suffix(b)
+        if word.endswith("ed") and len(word) > 3:
+            stem = word[:-2]
+            degem = stem[:-1] if len(stem) > 2 and stem[-1] == stem[-2] else None
+            b = base(stem, stem + "e", degem)
+            if b:
+                return _ed_suffix(b)
+        if word.endswith("ing") and len(word) > 4:
+            stem = word[:-3]
+            degem = stem[:-1] if len(stem) > 2 and stem[-1] == stem[-2] else None
+            b = base(stem, stem + "e", degem)
+            if b:
+                return b + ["IH0", "NG"]
+        if word.endswith("ily") and len(word) > 4:
+            b = base(word[:-3] + "y")
+            if b:  # happy → happily: final IY0 → AH0 + L IY0
+                if b[-1] == "IY0":
+                    b = b[:-1] + ["AH0"]
+                return b + ["L", "IY0"]
+        if word.endswith("ly") and len(word) > 3:
+            b = base(word[:-2])
+            if b:
+                return b + ["L", "IY0"]
+        if word.endswith("ness") and len(word) > 5:
+            b = base(word[:-4])
+            if b:
+                return b + ["N", "AH0", "S"]
+        if word.endswith("er") and len(word) > 3:
+            stem = word[:-2]
+            degem = stem[:-1] if len(stem) > 2 and stem[-1] == stem[-2] else None
+            b = base(stem, stem + "e", degem)
+            if b:
+                return b + ["ER0"]
+        if word.endswith("est") and len(word) > 4:
+            stem = word[:-3]
+            degem = stem[:-1] if len(stem) > 2 and stem[-1] == stem[-2] else None
+            b = base(stem, stem + "e", degem)
+            if b:
+                return b + ["AH0", "S", "T"]
+        for prefix, ph in (("un", ["AH0", "N"]), ("re", ["R", "IY0"]), ("non", ["N", "AA2", "N"])):
+            if word.startswith(prefix) and len(word) > len(prefix) + 2:
+                b = base(word[len(prefix):])
+                if b:
+                    return ph + b
+        return None
 
     def word_to_phonemes(self, word: str) -> List[str]:
         if word in self.lexicon:
             return list(self.lexicon[word])
+        morph = self._morph(word)
+        if morph:
+            return morph
         return letter_to_sound(word)
 
     def __call__(self, text: str) -> List[str]:

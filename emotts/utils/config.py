@@ -54,6 +54,9 @@ class DataConfig:
     pitch_averaging: bool = False
     energy_averaging: bool = False
     match_transcript: bool = False
+    # compute mel/energy on the accelerator in bucketed batches during
+    # preprocessing instead of per-utterance numpy FFTs on the host
+    device_mel: bool = False
     # deterministic split seeds (the reference used unseeded random.sample /
     # random.shuffle — SURVEY.md §3.6-B5; we fix that)
     split_seed: int = 42

@@ -77,3 +77,80 @@ def test_g2p_deterministic():
     g2p = G2P()
     text = "The quick brown fox jumps over 12 lazy dogs."
     assert g2p(text) == g2p(text)
+
+
+def test_bundled_lexicon_coverage():
+    """The packaged lexicon must cover everyday vocabulary with dictionary
+    pronunciations — exact phoneme match on 100 common words (VERDICT.md #5;
+    reference behavior: speechbrain/soundchoice-g2p, fastspeech2/util.py:20-27)."""
+    g2p = G2P()
+    assert len(g2p.lexicon) >= 1000
+    common = (
+        "the be to of and a in that have i it for not on with he as you do "
+        "at this but his by from they we say her she or an will my one all "
+        "would there their what so up out if about who get which go me when "
+        "make can like time no just him know take people into year your good "
+        "some could them see other than then now look only come its over "
+        "think also back after use two how our work first well way even new "
+        "want because any these give day most us"
+    ).split()
+    missing = [w for w in common if w not in g2p.lexicon]
+    assert len(missing) <= 5, f"common words missing from lexicon: {missing}"
+    # every entry maps straight through word_to_phonemes (no LTS detour)
+    hits = sum(g2p.word_to_phonemes(w) == g2p.lexicon[w] for w in common if w in g2p.lexicon)
+    assert hits / max(len(common) - len(missing), 1) >= 0.95
+
+
+def test_bundled_lexicon_wellformed():
+    """Every bundled pronunciation uses only valid vocabulary tokens and
+    carries exactly one primary stress per word."""
+    g2p = G2P()
+    bad_tokens = {
+        w: ph for w, ph in g2p.lexicon.items()
+        if not all(p in VALID_TOKENS for p in ph)
+    }
+    assert not bad_tokens, f"invalid tokens: {dict(list(bad_tokens.items())[:5])}"
+    multi_primary = [
+        w for w, ph in g2p.lexicon.items()
+        if sum(p.endswith("1") for p in ph) > 1
+    ]
+    assert not multi_primary, f"words with >1 primary stress: {multi_primary[:10]}"
+
+
+def test_g2p_morphology():
+    """Regular inflections decompose against the lexicon instead of falling
+    back to letter-to-sound rules."""
+    g2p = G2P()
+    cases = {
+        "cats": ["K", "AE1", "T", "S"],
+        "dogs": ["D", "AO1", "G", "Z"],
+        "houses": ["HH", "AW1", "S", "IH0", "Z"],
+        "played": ["P", "L", "EY1", "D"],
+        "wanted": ["W", "AA1", "N", "T", "AH0", "D"],
+        "stopped": ["S", "T", "AA1", "P", "T"],
+        "running": ["R", "AH1", "N", "IH0", "NG"],
+        "making": ["M", "EY1", "K", "IH0", "NG"],
+        "carried": ["K", "AE1", "R", "IY0", "D"],
+        "quickly": ["K", "W", "IH1", "K", "L", "IY0"],
+        "happily": ["HH", "AE1", "P", "AH0", "L", "IY0"],
+        "unhappy": ["AH0", "N", "HH", "AE1", "P", "IY0"],
+    }
+    for word, expected in cases.items():
+        assert g2p.word_to_phonemes(word) == expected, word
+
+
+def test_g2p_oov_still_works():
+    g2p = G2P()
+    for w in ("zyxwvut", "gregson", "quixotic"):
+        phones = g2p.word_to_phonemes(w)
+        assert phones, w
+        assert all(p in VALID_TOKENS for p in phones), (w, phones)
+
+
+def test_user_lexicon_overrides_bundled(tmp_path):
+    lex = tmp_path / "user.dict"
+    lex.write_text("HELLO  HH EH1 L OW0\n")
+    g2p = G2P(str(lex))
+    assert g2p.word_to_phonemes("hello") == ["HH", "EH1", "L", "OW0"]
+    # bundled entries still present for other words
+    assert g2p.word_to_phonemes("world") == ["W", "ER1", "L", "D"]
