@@ -85,14 +85,17 @@ def main() -> None:
     # block_until_ready alone under-reports on the tunneled axon platform)
     for _ in range(2):
         wav, mel_lens = synth(variables, voc_params, phonemes, speakers, intensity)
-        jax.device_get(mel_lens)
+    jax.device_get(mel_lens)
 
-    # timed runs, each synchronized by a small host transfer
-    n_iters = 10
+    # timed runs: chain n_iters async dispatches and sync ONCE — a per-iter
+    # device_get costs a ~25 ms tunnel round trip (measured; see
+    # benchmarks/vocoder_profile.py::_sync_ms) that would inflate every
+    # iteration.  The single trailing sync amortizes to ~1 ms/iter.
+    n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         wav, mel_lens = synth(variables, voc_params, phonemes, speakers, intensity)
-        jax.device_get(mel_lens)
+    jax.device_get(mel_lens)
     wall = (time.perf_counter() - t0) / n_iters
 
     # audio seconds synthesized per pass: every frame of the static capacity

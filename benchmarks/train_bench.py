@@ -1,12 +1,17 @@
 """Training-step throughput benchmarks (BASELINE.json configs 2 and 4).
 
-Measures steps/sec and mel-frames/sec/chip for:
-* the rank model's mixup forward/backward (batch 8, full-size model), and
+Measures steps/sec, mel-frames/sec/chip, and an MFU estimate for:
+* the rank model's mixup forward/backward (full-size model; reference
+  budget rank_model/parameter.yaml:41-46), and
 * the FastSpeech2 teacher-forced train step with the fused frozen-extractor
-  intensity bridge (batch 8, full-size model).
+  intensity bridge (full-size model; fastspeech2/parameter.yaml:42-47).
 
 Synthetic fixed-shape batches (bucket 512 frames / 96 phones), bf16 compute.
-Prints one JSON line per config.
+Timing: N async-dispatched steps chained through the carried train state,
+ONE device_get at the end — a per-step sync costs a ~25 ms tunnel round
+trip on the axon platform (see benchmarks/vocoder_profile.py::_sync_ms).
+Prints one JSON line per config.  Each config runs at the reference batch
+size (8) and a TPU-shaped batch (64).
 """
 
 from __future__ import annotations
@@ -20,16 +25,46 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+# v5e bf16 peak; used only for the MFU column
+_PEAK_TFLOPS = 197.0
 
-def bench_rank(cfg, mesh) -> dict:
+
+def _timed_steps(step, state, *args, n=20):
+    """Chain n steps through the carried state; sync once at the end."""
+    import jax
+
+    state, m = step(state, *args)  # warmup is assumed done by caller
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, m = step(state, *args)
+    jax.device_get(m)
+    return (time.perf_counter() - t0) / n, state
+
+
+def _flops_per_step(step, *args) -> float:
+    """XLA's own FLOP count for the compiled step (0.0 if unavailable)."""
+    import jax
+
+    try:
+        compiled = jax.jit(step).lower(*args).compile()
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        return float(analysis.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_rank(cfg, mesh, batch_size) -> dict:
     import jax
 
     from emotts.parallel.mesh import shard_batch
     from emotts.train.rank_trainer import RankTrainer
 
+    cfg.train_rank.batch_size = batch_size
     trainer = RankTrainer(cfg, mesh=mesh)
     rng = np.random.default_rng(0)
-    b, t, c = cfg.train_rank.batch_size, 512, cfg.audio.n_mels + 2
+    b, t, c = batch_size, 512, cfg.audio.n_mels + 2
     batch = {
         "emo_x": rng.standard_normal((b, t, c)).astype(np.float32),
         "neu_x": rng.standard_normal((b, t, c)).astype(np.float32),
@@ -37,35 +72,35 @@ def bench_rank(cfg, mesh) -> dict:
         "lengths": np.full((b,), t, np.int32),
     }
     sharded = shard_batch(mesh, batch)
-    trainer.state, m = trainer._train_step(trainer.state, dict(sharded))
-    jax.device_get(m)  # full round trip; block_until_ready under-reports on axon
-    n = 10
-    t0 = time.perf_counter()
-    for _ in range(n):
-        trainer.state, m = trainer._train_step(trainer.state, dict(sharded))
-        jax.device_get(m)
-    dt = (time.perf_counter() - t0) / n
+    step = trainer._train_step
+    trainer.state, m = step(trainer.state, dict(sharded))
+    jax.device_get(m)  # compile + sync
+    dt, trainer.state = _timed_steps(step, trainer.state, dict(sharded))
+    flops = _flops_per_step(step, trainer.state, dict(sharded))
     return {
         "metric": "rank_train_step",
         "value": b * t / dt,
         "unit": "mel-frames/sec/chip",
         "steps_per_sec": 1.0 / dt,
+        "step_ms": dt * 1000.0,
         "batch": b,
         "frames": t,
+        "mfu": (flops / dt) / (_PEAK_TFLOPS * 1e12) if flops else None,
     }
 
 
-def bench_fs2(cfg, mesh) -> dict:
+def bench_fs2(cfg, mesh, batch_size) -> dict:
     import jax
 
     from emotts.parallel.mesh import shard_batch
     from emotts.train.fs2_trainer import FS2Trainer, extractor_params_from_rank
     from emotts.train.rank_trainer import build_rank_model, init_rank_params
 
+    cfg.train_fs2.batch_size = batch_size
     rank_params = init_rank_params(cfg, build_rank_model(cfg), 0)
     trainer = FS2Trainer(cfg, extractor_params_from_rank(rank_params), mesh=mesh)
     rng = np.random.default_rng(0)
-    b, p, t = cfg.train_fs2.batch_size, 96, 512
+    b, p, t = batch_size, 96, 512
     durations = np.full((b, p), t // p, np.int32)
     batch = {
         "phonemes": rng.integers(1, 80, (b, p)).astype(np.int32),
@@ -80,38 +115,37 @@ def bench_fs2(cfg, mesh) -> dict:
         "emotions": rng.integers(0, cfg.n_emotions, b).astype(np.int32),
     }
     sharded = shard_batch(mesh, batch)
-    trainer.state, m = trainer._train_step(
-        trainer.state, trainer.extractor_params, dict(sharded)
-    )
-    jax.device_get(m)  # full round trip; block_until_ready under-reports on axon
-    n = 10
-    t0 = time.perf_counter()
-    for _ in range(n):
-        trainer.state, m = trainer._train_step(
-            trainer.state, trainer.extractor_params, dict(sharded)
-        )
-        jax.device_get(m)
-    dt = (time.perf_counter() - t0) / n
+
+    def step(state, batch):
+        return trainer._train_step(state, trainer.extractor_params, batch)
+
+    trainer.state, m = step(trainer.state, dict(sharded))
+    jax.device_get(m)
+    dt, trainer.state = _timed_steps(step, trainer.state, dict(sharded))
+    flops = _flops_per_step(step, trainer.state, dict(sharded))
     return {
         "metric": "fs2_train_step",
         "value": b * t / dt,
         "unit": "mel-frames/sec/chip",
         "steps_per_sec": 1.0 / dt,
+        "step_ms": dt * 1000.0,
         "batch": b,
         "frames": t,
+        "mfu": (flops / dt) / (_PEAK_TFLOPS * 1e12) if flops else None,
     }
 
 
 def main() -> None:
+    import jax
+
     from emotts.parallel.mesh import make_mesh
     from emotts.utils.config import Config
 
-    import jax
-
-    cfg = Config()
     mesh = make_mesh(devices=jax.devices()[:1])
-    print(json.dumps(bench_rank(cfg, mesh)))
-    print(json.dumps(bench_fs2(cfg, mesh)))
+    for batch in (8, 64):
+        print(json.dumps(bench_rank(Config(), mesh, batch)))
+    for batch in (8, 64):
+        print(json.dumps(bench_fs2(Config(), mesh, batch)))
 
 
 if __name__ == "__main__":
