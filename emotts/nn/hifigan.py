@@ -240,16 +240,35 @@ def _to_flax_conv_transpose(w: np.ndarray) -> np.ndarray:
 
 def convert_torch_state_dict(
     sd: Dict[str, np.ndarray],
-    n_ups: int = 4,
-    n_kernels: int = 3,
-    n_dilations: int = 3,
+    n_ups: int | None = None,
+    n_kernels: int | None = None,
+    n_dilations: int | None = None,
     prefix: str = "",
 ) -> Dict:
     """Map a torch HiFi-GAN generator state_dict to HiFiGANGenerator params.
 
     Accepts the official hifi-gan / SpeechBrain layout: conv_pre, ups.N,
     resblocks.M (M = i*n_kernels + j) with convs1.D/convs2.D, conv_post.
+    Structure counts default to whatever the state_dict actually contains.
     """
+    import re as _re
+
+    def _count(pattern):
+        idx = {
+            int(m.group(1))
+            for k in sd
+            for m in [_re.match(pattern, k[len(prefix):])]
+            if m
+        }
+        return max(idx) + 1 if idx else 0
+
+    if n_ups is None:
+        n_ups = _count(r"ups\.(\d+)\.")
+    n_resblocks = _count(r"resblocks\.(\d+)\.")
+    if n_kernels is None:
+        n_kernels = n_resblocks // max(n_ups, 1)
+    if n_dilations is None:
+        n_dilations = _count(r"resblocks\.0\.convs1\.(\d+)\.")
 
     def get(name):
         return _fuse_weight_norm(sd, prefix + name)

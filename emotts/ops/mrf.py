@@ -187,23 +187,29 @@ def _mrf_kernel(
     in_seq = (row >= 0) & (row < m_orig)
 
     def conv(y, ci):
-        """One packed conv: Σ_q roll(y, -q) @ W_q + b, fp32 accum."""
+        """One packed conv as a single im2col matmul.
+
+        ``Σ_q roll(y, -q) @ W_q`` is computed as ``concat_q(roll(y, -q)) @
+        concat_q(W_q)`` — one (L, k'·FC) × (k'·FC, FC) dot.  One matmul per
+        conv keeps the tap accumulation INSIDE the MXU; per-tap dots would
+        round-trip a (L, FC) fp32 accumulator through the VPU between taps,
+        which measures ~15% slower.  Static-shift rolls are two slices + a
+        concat (pltpu.roll lowers to tpu.dynamic_rotate, which Mosaic only
+        implements for 32-bit element types — bf16 tiles fail to compile).
+        """
         shifts, w_off, b_idx = plan.convs[ci]
-        acc = jnp.broadcast_to(b_ref[b_idx], y.shape).astype(jnp.float32)
-        for qi, q in enumerate(shifts):
+        cols = []
+        for q in shifts:
             shift = (-q) % l
-            # static-shift roll: two slices + concat.  (pltpu.roll lowers to
-            # tpu.dynamic_rotate, which Mosaic only implements for 32-bit
-            # element types — bf16 tiles would fail to compile.)
-            shifted = (
+            cols.append(
                 jnp.concatenate([y[l - shift :], y[: l - shift]], axis=0)
                 if shift
                 else y
             )
-            acc = acc + jnp.dot(
-                shifted, w_ref[w_off + qi], preferred_element_type=jnp.float32
-            )
-        return acc
+        z = jnp.concatenate(cols, axis=1)  # (L, k'·FC)
+        w = w_ref[w_off : w_off + len(shifts)].reshape(len(shifts) * plan.fc, plan.fc)
+        acc = jnp.dot(z, w, preferred_element_type=jnp.float32)
+        return acc + b_ref[b_idx]
 
     avg = jnp.zeros((l, plan.fc), jnp.float32)
     for rb in range(n_rb):
