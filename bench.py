@@ -119,5 +119,97 @@ def main() -> None:
     )
 
 
+def bench_cli_path() -> None:
+    """Time the REAL user synthesis path (reference: fastspeech2/inference.py
+    :40-84): experiment artifacts loaded from disk (best FS2 checkpoint,
+    intensity.npy bank, converted vocoder .npz), G2P on the demo sentence,
+    the whole intensity sweep batched through both models, and the waveform
+    batch transferred back to the host.  Reports capacity- and content-RTF.
+
+    Run via ``python bench.py --cli-path``; not the driver headline (which
+    must stay a single JSON line)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from emotts.infer.synthesize import Synthesizer, save_vocoder_params_npz, \
+        load_vocoder_checkpoint
+    from emotts.nn.hifigan import HiFiGANGenerator
+    from emotts.train.checkpoint import CheckpointManager, load_best_params
+    from emotts.train.fs2_trainer import build_fastspeech2, init_fs2_variables
+    from emotts.utils.config import Config
+
+    cfg = Config()
+    cfg.fastspeech2.max_mel_len = 256
+    cfg.fastspeech2.intensity_dim = cfg.n_emotions
+
+    root = tempfile.mkdtemp(prefix="emotts_bench_")
+    # experiment fixture: best-params export + intensity bank + vocoder npz,
+    # exactly the artifact set a trained run leaves behind
+    model = build_fastspeech2(cfg)
+    variables = init_fs2_variables(cfg, model, seed=0)
+    mgr = CheckpointManager(f"{root}/fs2_exp")
+    mgr.save_best(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    )
+    mgr.close()
+    rng = np.random.default_rng(0)
+    bank = rng.standard_normal(
+        (cfg.n_speakers, cfg.n_emotions, cfg.inference.bucket_size, cfg.n_emotions)
+    ).astype(np.float32)
+    np.save(f"{root}/intensity.npy", bank)
+    vocoder = HiFiGANGenerator(in_channels=cfg.audio.n_mels)
+    voc = vocoder.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, cfg.audio.n_mels)))
+    save_vocoder_params_npz(
+        jax.tree_util.tree_map(np.asarray, voc), f"{root}/vocoder.npz"
+    )
+
+    t_load = time.perf_counter()
+    fs2_vars = load_best_params(f"{root}/fs2_exp")
+    voc_params = load_vocoder_checkpoint(f"{root}/vocoder.npz", cfg)
+    voc_params = jax.tree_util.tree_map(jnp.asarray, voc_params)
+    synth = Synthesizer(
+        cfg,
+        jax.tree_util.tree_map(jnp.asarray, fs2_vars),
+        voc_params,
+        np.load(f"{root}/intensity.npy"),
+    )
+    t_load = time.perf_counter() - t_load
+
+    text = cfg.inference.text
+    out = synth.intensity_sweep(text)  # warmup + compile
+    n_iters = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = synth.intensity_sweep(text)
+    wall = (time.perf_counter() - t0) / n_iters
+
+    hop, sr = cfg.audio.hop_length, cfg.audio.sampling_rate
+    content_secs = sum(len(w) for w in out.values()) / sr
+    capacity_secs = len(out) * cfg.fastspeech2.max_mel_len * hop / sr
+    print(
+        json.dumps(
+            {
+                "metric": "cli_synthesis_rtf_per_chip",
+                "value": wall / capacity_secs,
+                "unit": "rtf",
+                "vs_baseline": 0.01 / (wall / capacity_secs),
+                "content_rtf": wall / max(content_secs, 1e-9),
+                "content_audio_secs": content_secs,
+                "wall_ms_per_sweep": wall * 1000.0,
+                "artifact_load_secs": t_load,
+                "n_wavs": len(out),
+                "note": "full user path: ckpt load + G2P + sweep + host wav transfer",
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--cli-path" in sys.argv:
+        bench_cli_path()
+    else:
+        main()
