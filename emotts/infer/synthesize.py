@@ -71,7 +71,13 @@ class Synthesizer:
         return preds[0], preds[7]  # mel (B, T, n_mels), mel_lens (B,)
 
     def _vocode(self, params, mel):
-        return self.vocoder.apply(params, mel)  # (B, T·hop)
+        wav = self.vocoder.apply(params, mel)  # (B, T·hop)
+        # 16-bit PCM on device: the wav files are written as int16 anyway,
+        # and halving the transfer matters — host links (e.g. the tunneled
+        # axon platform) move tens of MB per sweep
+        return jnp.clip(
+            wav.astype(jnp.float32) * 32767.0, -32768.0, 32767.0
+        ).astype(jnp.int16)
 
     # -- public API ------------------------------------------------------
 
@@ -144,10 +150,19 @@ class Synthesizer:
         wav = self.vocode(mel) if self._voc_fn is not None else None
 
         hop = cfg.audio.hop_length
-        mel_lens = np.asarray(jax.device_get(mel_lens))
+        mel_lens = np.asarray(jax.device_get(mel_lens))  # (B,), tiny
         out: Dict[Tuple[str, str, int], np.ndarray] = {}
-        wav_np = np.asarray(jax.device_get(wav)) if wav is not None else None
-        mel_np = np.asarray(jax.device_get(mel))
+        if wav is not None:
+            # transfer only the content span (padded capacity frames carry no
+            # audio) — the int16 device-side PCM (see _vocode) plus this trim
+            # cuts host traffic ~5× on slow links
+            t_max = int(mel_lens.max()) * hop
+            wav_np = np.asarray(jax.device_get(wav[:, :t_max]))
+            wav_np = wav_np.astype(np.float32) / 32767.0
+            mel_np = None
+        else:
+            wav_np = None
+            mel_np = np.asarray(jax.device_get(mel))
         for i, (s, e, lv) in enumerate(combos):
             key = (cfg.data.speakers[s], cfg.data.emotions[e], lv)
             if wav_np is not None:

@@ -83,6 +83,10 @@ class ResBlock1(nn.Module):
     dilations: Tuple[int, ...] = (1, 3, 5)
     use_pallas: bool = False
     pack_factor: int = 1  # >1: polyphase time-packing (emotts.ops.polyphase)
+    # return the stacked (w1, b1, w2, b2) params instead of computing —
+    # lets the generator feed whole-MRF fused kernels while this module
+    # stays the single owner of the (checkpoint-compatible) param layout
+    return_params: bool = False
 
     def _stacked_params(self):
         k, n_d = self.kernel_size, len(self.dilations)
@@ -108,6 +112,8 @@ class ResBlock1(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k = self.kernel_size
+        if self.return_params:
+            return self._stacked_params()
         if self.pack_factor > 1 and x.shape[1] % self.pack_factor == 0:
             from emotts.ops.polyphase import packed_resblock1
 
@@ -146,8 +152,13 @@ class HiFiGANGenerator(nn.Module):
     upsample_kernel_sizes: Tuple[int, ...] = (16, 16, 4, 4)
     resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
     resblock_dilations: Tuple[Tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
-    use_pallas_resblocks: bool = False  # fused MRF kernels (TPU only)
+    use_pallas_resblocks: bool = False  # per-resblock fused kernels (TPU only)
     time_packed_resblocks: bool = False  # polyphase packing for C<128 stages
+    # whole-MRF-stage Pallas fusion (emotts.ops.mrf): one HBM round trip per
+    # stage for C ≤ 128.  Measured within ~8% of the XLA conv path on v5e
+    # (XLA's native conv pipeline avoids the kernel's explicit shift
+    # relayouts — see BENCH_NOTES.md), so XLA stays the default.
+    fused_mrf: bool = False
     # sub-pixel formulation of the transposed convs (exactly equivalent,
     # stride× fewer FLOPs than the input-dilated form); off switches back to
     # the literal ConvTranspose lowering
@@ -177,21 +188,39 @@ class HiFiGANGenerator(nn.Module):
             else:
                 x = _conv_transpose1d(x, w_up, u) + b_up
 
-            acc = None
-            for j, (k, dil) in enumerate(
-                zip(self.resblock_kernel_sizes, self.resblock_dilations)
-            ):
-                pack = 1
-                if self.time_packed_resblocks and out_ch < 128:
-                    pack = 128 // out_ch
-                y = ResBlock1(
-                    out_ch, k, tuple(dil),
-                    use_pallas=self.use_pallas_resblocks,
-                    pack_factor=pack,
-                    name=f"resblock_{i}_{j}",
-                )(x)
-                acc = y if acc is None else acc + y
-            x = acc / len(self.resblock_kernel_sizes)
+            same_dil = len(set(map(tuple, self.resblock_dilations))) == 1
+            if self.fused_mrf and out_ch <= 128 and same_dil:
+                stage_params = [
+                    ResBlock1(
+                        out_ch, k, tuple(dil), return_params=True,
+                        name=f"resblock_{i}_{j}",
+                    )(x)
+                    for j, (k, dil) in enumerate(
+                        zip(self.resblock_kernel_sizes, self.resblock_dilations)
+                    )
+                ]
+                from emotts.ops.mrf import fused_mrf_stage
+
+                x = fused_mrf_stage(
+                    x, stage_params, self.resblock_kernel_sizes,
+                    self.resblock_dilations[0],
+                )
+            else:
+                acc = None
+                for j, (k, dil) in enumerate(
+                    zip(self.resblock_kernel_sizes, self.resblock_dilations)
+                ):
+                    pack = 1
+                    if self.time_packed_resblocks and out_ch < 128:
+                        pack = 128 // out_ch
+                    y = ResBlock1(
+                        out_ch, k, tuple(dil),
+                        use_pallas=self.use_pallas_resblocks,
+                        pack_factor=pack,
+                        name=f"resblock_{i}_{j}",
+                    )(x)
+                    acc = y if acc is None else acc + y
+                x = acc / len(self.resblock_kernel_sizes)
             ch = out_ch
 
         x = nn.leaky_relu(x, LRELU_SLOPE)

@@ -57,3 +57,20 @@ def tp_param_shardings(params: Any, mesh: Mesh):
 def shard_params_tp(params: Any, mesh: Mesh):
     """device_put params with the TP layout (no-op layout when model=1)."""
     return jax.device_put(params, tp_param_shardings(params, mesh))
+
+
+def state_shardings(state: Any, mesh: Mesh):
+    """NamedSharding tree for a whole TrainState: TP rules for params AND the
+    optimizer moments (their paths embed the param paths, so the same rules
+    match), replicated for everything else.
+
+    Used both to place the initial state and as the train step's
+    ``out_shardings``.  Pinning outputs matters: when the ``model`` axis has
+    size 1 (every single-chip or pure-DP run), XLA canonicalizes
+    ``PartitionSpec('model', …)`` outputs to ``PartitionSpec()`` — the next
+    call then sees a different input signature and silently RECOMPILES the
+    whole step (a multi-minute stall on remote-compile platforms).
+    """
+    return jax.tree_util.tree_map_with_path(
+        lambda path, v: NamedSharding(mesh, _spec_for(path, v)), state
+    )

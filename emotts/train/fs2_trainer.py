@@ -121,10 +121,10 @@ class FS2Trainer:
             cfg.train_fs2.seed,
             batch_stats=replicate(self.mesh, variables["batch_stats"]),
         )
-        self.state = state.replace(
-            step=replicate(self.mesh, state.step),
-            rng=replicate(self.mesh, state.rng),
-        )
+        from emotts.parallel.tp import state_shardings
+
+        self._state_sh = state_shardings(state, self.mesh)
+        self.state = jax.device_put(state, self._state_sh)
         loss_cfg = cfg.loss
 
         def intensity_rep(ext_params, batch):
@@ -201,7 +201,12 @@ class FS2Trainer:
             )
             return metrics, preds[0]
 
-        self._train_step = jax.jit(train_step, donate_argnums=0)
+        # out_shardings pinned to the input layout — otherwise a size-1 model
+        # axis canonicalizes the output specs and step 2 silently recompiles
+        # (emotts.parallel.tp.state_shardings)
+        self._train_step = jax.jit(
+            train_step, donate_argnums=0, out_shardings=(self._state_sh, None)
+        )
         self._eval_step = jax.jit(eval_step)
 
     # ------------------------------------------------------------------
@@ -281,7 +286,7 @@ class FS2Trainer:
         ckpt.close()
         if restored is None:
             return False
-        self.state = replicate(self.mesh, restored)
+        self.state = jax.device_put(restored, self._state_sh)
         return True
 
     def _vocode_samples(self, batch, mel_pred: np.ndarray, epoch: int,

@@ -73,12 +73,12 @@ class RankTrainer:
         # the optimizer state inherits the placement from the params
         from emotts.parallel.tp import shard_params_tp
 
+        from emotts.parallel.tp import state_shardings
+
         params = shard_params_tp(params, self.mesh)
         state = create_train_state(params, self.tx, cfg.train_rank.seed)
-        self.state = state.replace(
-            step=replicate(self.mesh, state.step),
-            rng=replicate(self.mesh, state.rng),
-        )
+        self._state_sh = state_shardings(state, self.mesh)
+        self.state = jax.device_put(state, self._state_sh)
         alpha, beta = cfg.rank_model.alpha, cfg.rank_model.beta
 
         def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
@@ -121,7 +121,12 @@ class RankTrainer:
             _, metrics = rank_loss(preds, batch["emotions"], alpha, beta)
             return metrics, preds[4]  # pooled h_i
 
-        self._train_step = jax.jit(train_step, donate_argnums=0)
+        # out_shardings pinned to the input layout: without it, a size-1
+        # model axis lets XLA canonicalize the output specs and the second
+        # step recompiles (see emotts.parallel.tp.state_shardings)
+        self._train_step = jax.jit(
+            train_step, donate_argnums=0, out_shardings=(self._state_sh, None)
+        )
         self._eval_step = jax.jit(eval_step)
 
     # ------------------------------------------------------------------
@@ -193,7 +198,7 @@ class RankTrainer:
         ckpt.close()
         if restored is None:
             return False
-        self.state = replicate(self.mesh, restored)
+        self.state = jax.device_put(restored, self._state_sh)
         return True
 
     def fit(

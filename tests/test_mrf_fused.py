@@ -56,3 +56,27 @@ def test_stage_plan_halo_covers_receptive_field():
     assert plan1.halo == 64  # 60 rounded up to sublane tiling
     # F=1 packed taps are exactly the original taps
     assert plan1.total_taps == sum(2 * 3 * k for k in (3, 7, 11))
+
+
+def test_generator_fused_mrf_flag(rng):
+    """fused_mrf=True: identical params tree and near-identical output."""
+    import jax
+    import jax.numpy as jnp
+
+    from emotts.nn.hifigan import HiFiGANGenerator
+
+    kw = dict(
+        in_channels=8, upsample_initial_channel=64,
+        upsample_rates=(2, 2), upsample_kernel_sizes=(4, 4),
+    )
+    gen = HiFiGANGenerator(**kw)
+    gen_fused = HiFiGANGenerator(fused_mrf=True, **kw)
+    mel = jnp.asarray(rng.standard_normal((1, 16, 8)).astype(np.float32))
+    v = gen.init(jax.random.PRNGKey(0), mel)
+    v2 = gen_fused.init(jax.random.PRNGKey(0), mel)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    out = gen.apply(v, mel)
+    out_fused = gen_fused.apply(v, mel)  # same params, fused path
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out), rtol=2e-5, atol=2e-5
+    )
