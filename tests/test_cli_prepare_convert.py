@@ -156,3 +156,23 @@ def test_convert_vocoder_cli_missing_args(tmp_path):
     cfg_path = tmp_path / "cfg.yaml"
     save_config(Config(), str(cfg_path))
     assert main(["convert-vocoder", "--config", str(cfg_path)]) == 2
+
+
+def test_preprocess_cli_device_mel(tmp_path):
+    """data.device_mel=true routes the CLI preprocess through the batched
+    device mel path and produces the same artifact contract."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from synthetic_corpus import make_corpus
+
+    cfg = make_corpus(str(tmp_path), utts_per_emotion=3)
+    cfg_path = tmp_path / "cfg.yaml"
+    save_config(cfg, str(cfg_path))
+    rc = main(["preprocess", "--config", str(cfg_path), "data.device_mel=true"])
+    assert rc == 0
+    npzs = sorted(Path(cfg.data.preprocessed_path).glob("*/*.npz"))
+    assert npzs
+    d = np.load(npzs[0], allow_pickle=True)
+    assert d["mel"].shape[0] == cfg.audio.n_mels
+    assert len(d["energy"]) == d["mel"].shape[1] == len(d["pitch"])
