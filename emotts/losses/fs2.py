@@ -48,23 +48,37 @@ def _masked_per_sample_mse(
     return per_sample.mean()
 
 
-def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+def _gaussian_1d(size: int = 11, sigma: float = 1.5) -> np.ndarray:
     g = np.exp(-((np.arange(size) - size // 2) ** 2) / (2 * sigma**2))
-    g /= g.sum()
-    return np.outer(g, g).astype(np.float32)  # (size, size)
+    return (g / g.sum()).astype(np.float32)
 
 
-def _ssim_map(x: jnp.ndarray, y: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """SSIM map over (B, H, W) images with a 2-D window (valid same-padding)."""
-    k = kernel[None, None]  # (1, 1, kh, kw) OIHW
+def _separable_filter(img: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Gaussian window as two 1-D shift-and-add passes over (B, H, W).
+
+    The obvious formulation — a (B, 1, H, W) conv with a 1×1×11×11 kernel —
+    is pathological on TPU: a single-channel conv uses ~none of the MXU and
+    its BACKWARD emits more of the same (measured: the SSIM term alone cost
+    ~60 ms/step of the FS2 train step's 75 ms).  The outer-product window is
+    separable, and an 11-tap scalar-weighted sum of shifted slices is pure
+    VPU elementwise work with an equally cheap transpose.  Matches the 2-D
+    SAME-padded conv exactly (same zero padding, same weights).
+    """
+    size = g.shape[0]
+    r = size // 2
+    b, h, w = img.shape
+    pt = jnp.pad(img, ((0, 0), (r, r), (0, 0)))
+    img = sum(g[j] * lax.slice(pt, (0, j, 0), (b, j + h, w)) for j in range(size))
+    pm = jnp.pad(img, ((0, 0), (0, 0), (r, r)))
+    img = sum(g[i] * lax.slice(pm, (0, 0, i), (b, h, i + w)) for i in range(size))
+    return img
+
+
+def _ssim_map(x: jnp.ndarray, y: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """SSIM map over (B, H, W) images (separable Gaussian, SAME padding)."""
 
     def filt(img):
-        return lax.conv_general_dilated(
-            img[:, None],  # (B, 1, H, W) NCHW
-            k,
-            window_strides=(1, 1),
-            padding="SAME",
-        )[:, 0]
+        return _separable_filter(img, g)
 
     c1, c2 = 0.01**2, 0.03**2
     mu_x, mu_y = filt(x), filt(y)
@@ -86,7 +100,7 @@ def _sample_minmax_norm(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(m, out, 0.0)
 
 
-_SSIM_KERNEL = _gaussian_kernel()
+_SSIM_KERNEL = _gaussian_1d()
 
 
 def ssim_loss(
