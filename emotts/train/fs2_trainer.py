@@ -120,6 +120,7 @@ class FS2Trainer:
             self.tx,
             cfg.train_fs2.seed,
             batch_stats=replicate(self.mesh, variables["batch_stats"]),
+            rng_impl=cfg.train_fs2.rng_impl,
         )
         from emotts.parallel.tp import state_shardings
 

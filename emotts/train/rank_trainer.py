@@ -76,7 +76,9 @@ class RankTrainer:
         from emotts.parallel.tp import state_shardings
 
         params = shard_params_tp(params, self.mesh)
-        state = create_train_state(params, self.tx, cfg.train_rank.seed)
+        state = create_train_state(
+            params, self.tx, cfg.train_rank.seed, rng_impl=cfg.train_rank.rng_impl
+        )
         self._state_sh = state_shardings(state, self.mesh)
         self.state = jax.device_put(state, self._state_sh)
         alpha, beta = cfg.rank_model.alpha, cfg.rank_model.beta

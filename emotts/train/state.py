@@ -23,12 +23,19 @@ class TrainState:
     step: jnp.ndarray  # () int32
     params: Any
     opt_state: Any
-    rng: jax.Array  # base PRNG key; per-step keys are folded in
+    rng: jax.Array  # base PRNG key DATA (raw uint32; see next_rngs)
     batch_stats: Any = None  # for models with BatchNorm (PostNet)
+    # PRNG implementation, static (not a traced leaf).  "rbg" uses the TPU's
+    # hardware RNG — measured 26% faster rank fwd+bwd than threefry (the
+    # dropout-mask generation is a real cost at these model sizes).  The key
+    # is stored as raw uint32 key data so Orbax checkpoints never see an
+    # extended PRNG dtype.
+    rng_impl: str = struct.field(pytree_node=False, default="rbg")
 
     def next_rngs(self, *names: str):
         """Per-step RNG streams derived from (base key, step)."""
-        key = jax.random.fold_in(self.rng, self.step)
+        base = jax.random.wrap_key_data(self.rng, impl=self.rng_impl)
+        key = jax.random.fold_in(base, self.step)
         keys = jax.random.split(key, len(names))
         return dict(zip(names, keys))
 
@@ -51,11 +58,13 @@ def create_train_state(
     tx: optax.GradientTransformation,
     seed: int,
     batch_stats: Any = None,
+    rng_impl: str = "rbg",
 ) -> TrainState:
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
-        rng=jax.random.PRNGKey(seed),
+        rng=jax.random.key_data(jax.random.key(seed, impl=rng_impl)),
         batch_stats=batch_stats,
+        rng_impl=rng_impl,
     )

@@ -154,6 +154,10 @@ class TrainConfig:
     # numerics: bf16 matmuls with fp32 params/accumulation; 'float32' gives
     # the exact-parity mode used by tests.
     compute_dtype: str = "bfloat16"
+    # PRNG implementation for train-time randomness (mixup/dropout):
+    # 'rbg' = TPU hardware RNG (fastest; streams differ across backends),
+    # 'threefry2x32' = JAX default (identical streams everywhere)
+    rng_impl: str = "rbg"
     checkpoint_every_steps: int = 500
     keep_checkpoints: int = 3
     log_every_steps: int = 50
