@@ -27,7 +27,7 @@ from emotts.data.datasets import RankPairDataset, collate_rank_pairs
 from emotts.data.loader import BucketLoader
 from emotts.losses.rank import rank_loss
 from emotts.nn.intensity import RankModel
-from emotts.parallel.mesh import make_mesh, replicate, shard_batch
+from emotts.parallel.mesh import make_mesh, shard_batch
 from emotts.train.checkpoint import CheckpointManager
 from emotts.train.metrics import EpochAverager, MetricsWriter, StepTimer
 from emotts.train.state import TrainState, create_train_state, make_optimizer
