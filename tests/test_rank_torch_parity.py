@@ -154,3 +154,76 @@ def test_loss_matches(setup):
     )
     j_total, _ = rank_loss(j_out, jnp.asarray(emotions), alpha=0.1, beta=1.0)
     assert float(j_total) == pytest.approx(float(t_total), rel=1e-4)
+
+
+def test_optimization_trajectory_matches(setup):
+    """Multi-step loss-curve parity: 4 AdamW steps from identical weights on
+    a fixed batch track the torch trajectory (BASELINE config 2's
+    'loss-curve parity at matched config', extended from single-forward)."""
+    import copy
+
+    import optax
+
+    from emotts.losses import rank_loss as j_rank_loss
+
+    tmodel, jmodel, variables, (emo_x, neu_x, emotions, lengths, lambdas) = setup
+    tmodel = copy.deepcopy(tmodel).train(False)  # dropout-free, same math
+    lr, wd = 1e-3, 1e-2
+
+    def torch_loss():
+        t_out = tmodel(
+            torch.tensor(emo_x), torch.tensor(neu_x),
+            torch.tensor(emotions), torch.tensor(lengths),
+            torch.tensor(lambdas),
+        )
+        y = torch.tensor(emotions)
+        y0 = torch.zeros_like(y)
+        li, lj = t_out[0].squeeze(), t_out[1].squeeze()
+        t_mix = (
+            li * F.cross_entropy(t_out[4], y)
+            + (1 - li) * F.cross_entropy(t_out[4], y0)
+            + lj * F.cross_entropy(t_out[5], y)
+            + (1 - lj) * F.cross_entropy(t_out[5], y0)
+        ).mean()
+        pij = torch.sigmoid(t_out[6] - t_out[7])
+        ld = (li - lj + 1) / 2
+        t_rank = -(
+            ld * torch.log(pij + 1e-8) + (1 - ld) * torch.log(1 - pij + 1e-8)
+        ).mean()
+        return 0.1 * t_mix + 1.0 * t_rank
+
+    opt_t = torch.optim.AdamW(
+        tmodel.parameters(), lr=lr, betas=(0.9, 0.999), eps=1e-8, weight_decay=wd
+    )
+    t_losses = []
+    for _ in range(4):
+        opt_t.zero_grad()
+        loss = torch_loss()
+        t_losses.append(float(loss))
+        loss.backward()
+        opt_t.step()
+
+    def j_loss(params):
+        out = jmodel.apply(
+            params, jnp.asarray(emo_x), jnp.asarray(neu_x),
+            jnp.asarray(emotions), jnp.asarray(lengths), jnp.asarray(lambdas),
+        )
+        total, _ = j_rank_loss(out, jnp.asarray(emotions), alpha=0.1, beta=1.0)
+        return total
+
+    tx = optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=wd)
+    params = variables
+    opt_state = tx.init(params)
+    step = jax.jit(
+        lambda p, s: (lambda g: (lambda u, s2: (optax.apply_updates(p, u), s2))(
+            *tx.update(g, s, p)
+        ))(jax.grad(j_loss)(p))
+    )
+    j_losses = []
+    for _ in range(4):
+        j_losses.append(float(j_loss(params)))
+        params, opt_state = step(params, opt_state)
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=5e-3, atol=1e-4)
+    # and both actually descend
+    assert j_losses[-1] < j_losses[0]
