@@ -72,15 +72,21 @@ def _pack_weight_blocks(
     f = factor
     shifts = _conv_plan(k, dilation, f)
     qidx = {q: i for i, q in enumerate(shifts)}
-    wp = jnp.zeros((len(shifts), f * c, f * c), w.dtype)
+    # one gather + mask over a static index map — per-block .at[].set
+    # scatters would execute on device on every call (w is a runtime input)
+    jmap = np.zeros((len(shifts), f, f), np.int32)
+    valid = np.zeros((len(shifts), f, f), bool)
     for p in range(f):
         for j in range(k):
             o = p + (j - r) * dilation
-            q, pin = o // f, o % f
-            wp = wp.at[
-                qidx[q], pin * c : (pin + 1) * c, p * c : (p + 1) * c
-            ].set(w[j])
-    return wp
+            jmap[qidx[o // f], o % f, p] = j
+            valid[qidx[o // f], o % f, p] = True
+    gathered = jnp.where(
+        jnp.asarray(valid)[..., None, None], w[jnp.asarray(jmap)], 0
+    )  # (k', pin, p, C, C)
+    return jnp.transpose(gathered, (0, 1, 3, 2, 4)).reshape(
+        len(shifts), f * c, f * c
+    )
 
 
 class _StagePlan:

@@ -51,6 +51,11 @@ def pack_conv_weights(
     Returns (w_packed (k', F·C, F·C), pad_lo, pad_hi) such that
         y' = conv(x', w_packed, padding=(pad_lo, pad_hi))
     equals the packed original conv output.
+
+    Built as ONE gather + mask (w[J] over a static index map), not per-block
+    scatters: w is a runtime input (model params), so any construction ops
+    run on device on EVERY call — k·F separate ``.at[].set`` scatters cost
+    real milliseconds per vocoder pass.
     """
     k, c_in, c_out = w.shape
     assert c_in == c_out
@@ -65,17 +70,21 @@ def pack_conv_weights(
     q_max = max(o // f for o in offsets)
     k_packed = q_max - q_min + 1
 
-    wp = jnp.zeros((k_packed, f * c_in, f * c_out), w.dtype)
+    # static map: (q, pin, p) → original tap j (or masked out)
+    jmap = np.zeros((k_packed, f, f), np.int32)
+    valid = np.zeros((k_packed, f, f), bool)
     for p in range(f):
         for j in range(k):
             o = p + (j - r) * dilation
-            q = o // f
-            pin = o % f
-            wp = wp.at[
-                q - q_min,
-                pin * c_in : (pin + 1) * c_in,
-                p * c_out : (p + 1) * c_out,
-            ].set(jnp.asarray(w[j]))
+            jmap[o // f - q_min, o % f, p] = j
+            valid[o // f - q_min, o % f, p] = True
+
+    gathered = jnp.asarray(w)[jnp.asarray(jmap)]  # (k', F, F, C, C)
+    gathered = jnp.where(jnp.asarray(valid)[..., None, None], gathered, 0)
+    # (k', pin, p, c_in, c_out) → (k', pin·C_in, p·C_out)
+    wp = jnp.transpose(gathered, (0, 1, 3, 2, 4)).reshape(
+        k_packed, f * c_in, f * c_out
+    )
     return wp, -q_min, q_max
 
 
