@@ -41,6 +41,8 @@ class BucketLoader:
         drop_last: bool = True,
         drop_overflow: bool = True,
         prefetch: int = 2,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.dataset = dataset
         self.buckets = sorted(buckets)
@@ -51,6 +53,12 @@ class BucketLoader:
         self.drop_last = drop_last
         self.drop_overflow = drop_overflow
         self.prefetch = prefetch
+        # multi-host data sharding: every process computes the SAME seeded
+        # plan and takes a disjoint round-robin slice of its batches (the
+        # SPMD host-feeding pattern; pass jax.process_index()/process_count())
+        assert 0 <= process_index < process_count
+        self.process_index = process_index
+        self.process_count = process_count
         self._lengths: Optional[List[int]] = None
 
     def _bucket_of(self, length: int) -> int:
@@ -87,6 +95,12 @@ class BucketLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed * 7919 + epoch)
             rng.shuffle(batches)
+        if self.process_count > 1:
+            # identical plan on every host → disjoint slices; trailing
+            # batches that don't divide evenly are dropped so all hosts
+            # run the same number of steps (collectives stay in lockstep)
+            usable = len(batches) - len(batches) % self.process_count
+            batches = batches[self.process_index : usable : self.process_count]
         return batches
 
     def batches_per_epoch(self, epoch: int = 0) -> int:

@@ -194,3 +194,37 @@ def test_match_transcript_pairing(tmp_path):
     for line in train + test:
         _, _, emo_id, neu_id = line.split("|")
         assert emo_id == neu_id
+
+
+def test_bucket_loader_process_sharding(tmp_path):
+    """Multi-host plan sharding: per-process slices are disjoint, cover the
+    plan (minus lockstep-dropped remainder), and all hosts run equally many
+    steps."""
+    from emotts.data.loader import BucketLoader
+
+    class Toy:
+        def __len__(self):
+            return 50
+
+        def __getitem__(self, i):
+            return i
+
+        def length_of(self, i):
+            return 10 + (i % 3)
+
+    def collate(examples, bucket):
+        return {"idx": np.asarray(examples)}
+
+    full = BucketLoader(Toy(), [16], 4, collate, seed=1)
+    plan_full = full.plan_epoch(3)
+    shards = [
+        BucketLoader(
+            Toy(), [16], 4, collate, seed=1, process_index=p, process_count=3
+        ).plan_epoch(3)
+        for p in range(3)
+    ]
+    assert len({len(s) for s in shards}) == 1  # lockstep
+    flat = [tuple(b) for s in shards for b in s]
+    assert len(flat) == len(set(flat))  # disjoint
+    usable = len(plan_full) - len(plan_full) % 3
+    assert set(flat) == {tuple(b) for b in plan_full[:usable]}
