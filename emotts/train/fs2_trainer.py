@@ -229,6 +229,9 @@ class FS2Trainer:
             shuffle=shuffle,
             seed=cfg.data.split_seed,
             drop_last=shuffle,
+            # multi-host: each process consumes a disjoint plan slice
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
         )
 
     @staticmethod

@@ -143,6 +143,9 @@ class RankTrainer:
             shuffle=shuffle,
             seed=cfg.data.split_seed,
             drop_last=shuffle,  # keep all eval data
+            # multi-host: each process consumes a disjoint plan slice
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
         )
 
     def train_epoch(self, loader: BucketLoader, epoch: int, writer=None) -> Dict:
