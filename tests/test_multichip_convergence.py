@@ -61,6 +61,10 @@ def test_rank_trainer_converges_on_mesh():
     assert all(np.isfinite(losses)), losses
     # overfitting one batch: clear downward trend over the window
     assert np.mean(losses[-3:]) < np.mean(losses[:3]) - 1e-4, losses
+    # regression guard: the step must compile exactly once — a second cache
+    # entry means the output shardings diverged from the input layout
+    # (the silent step-2 recompile fixed in emotts/parallel/tp.py)
+    assert trainer._train_step._cache_size() == 1
 
 
 def test_fs2_trainer_converges_on_mesh():
@@ -96,3 +100,5 @@ def test_fs2_trainer_converges_on_mesh():
     assert np.mean(losses[-3:]) < np.mean(losses[:3]) - 1e-3, losses
     # step counter threaded through the sharded state
     assert int(jax.device_get(trainer.state.step)) == 12
+    # single compile across all steps (recompile regression guard)
+    assert trainer._train_step._cache_size() == 1
