@@ -202,7 +202,7 @@ def fused_resblock1(
         kernel,
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; manual DMA
             pl.BlockSpec(w1.shape, lambda bi, ti: (0, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(b1.shape, lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(w2.shape, lambda bi, ti: (0, 0, 0, 0), memory_space=pltpu.VMEM),
