@@ -193,6 +193,10 @@ class FFTStack(nn.Module):
     normalize_before: bool = False
     ffn_internal_dropout: bool = False
     final_norm: bool = False
+    # rematerialize each block on the backward pass: activations for the
+    # stack cost O(1) layers instead of O(N) — the jax.checkpoint lever for
+    # scaling batch/sequence beyond HBM (params and streams unchanged)
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -202,8 +206,9 @@ class FFTStack(nn.Module):
         key_valid: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        block_cls = nn.remat(FFTBlock) if self.remat else FFTBlock
         for i in range(self.num_layers):
-            x = FFTBlock(
+            x = block_cls(
                 self.d_model,
                 self.n_heads,
                 self.ffn_dim,

@@ -160,6 +160,7 @@ class FastSpeech2(nn.Module):
             dropout=c.enc_dropout,
             normalize_before=c.normalize_before,
             final_norm=True,
+            remat=c.remat,
             dtype=self.dtype,
             name="encoder",
         )(feats, key_valid=token_valid, deterministic=deterministic).astype(dtype)
@@ -246,6 +247,7 @@ class FastSpeech2(nn.Module):
             dropout=c.dec_dropout,
             normalize_before=c.normalize_before,
             final_norm=True,
+            remat=c.remat,
             dtype=self.dtype,
             name="decoder",
         )(spec, key_valid=frame_valid, deterministic=deterministic).astype(dtype)

@@ -46,6 +46,7 @@ class IntensityExtractor(nn.Module):
     kernel_size: int = 9
     ffn_mult: int = 4
     dropout: float = 0.1
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -73,6 +74,7 @@ class IntensityExtractor(nn.Module):
             normalize_before=False,
             ffn_internal_dropout=True,
             final_norm=False,
+            remat=self.remat,
             dtype=self.dtype,
             name="fft",
         )(h, key_valid=valid, deterministic=deterministic)
@@ -100,6 +102,7 @@ class RankModel(nn.Module):
     kernel_size: int = 9
     ffn_mult: int = 4
     dropout: float = 0.1
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -112,6 +115,7 @@ class RankModel(nn.Module):
             kernel_size=self.kernel_size,
             ffn_mult=self.ffn_mult,
             dropout=self.dropout,
+            remat=self.remat,
             dtype=self.dtype,
         )
         self.projector = nn.Dense(1, use_bias=False, name="projector")

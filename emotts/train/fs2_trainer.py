@@ -60,6 +60,7 @@ def build_intensity_extractor(cfg: Config) -> IntensityExtractor:
         kernel_size=rm.kernel_size,
         ffn_mult=rm.ffn_mult,
         dropout=rm.dropout,
+        remat=rm.remat,
         dtype=jnp.float32,
     )
 

@@ -49,6 +49,7 @@ def build_rank_model(cfg: Config, dtype=None) -> RankModel:
         kernel_size=rm.kernel_size,
         ffn_mult=rm.ffn_mult,
         dropout=rm.dropout,
+        remat=rm.remat,
         dtype=dtype,
     )
 

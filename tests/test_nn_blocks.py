@@ -104,3 +104,29 @@ def test_fft_block_dropout_rng():
     y3 = block.apply(params, x)
     y4 = block.apply(params, x)
     np.testing.assert_array_equal(np.asarray(y3), np.asarray(y4))
+
+
+def test_fftstack_remat_identical_grads(rng):
+    """remat=True trades memory for recompute without changing any value:
+    params tree, outputs, and gradients are bit-identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from emotts.nn.blocks import FFTStack
+
+    kw = dict(num_layers=2, d_model=16, n_heads=2, ffn_dim=32,
+              kernel_sizes=(3, 1), dropout=0.0)
+    m0, m1 = FFTStack(**kw), FFTStack(remat=True, **kw)
+    x = jnp.asarray(rng.standard_normal((2, 10, 16)).astype(np.float32))
+    v = m0.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        m1.init(jax.random.PRNGKey(0), x)
+    )
+
+    def loss(m, p):
+        return jnp.sum(m.apply(p, x) ** 2)
+
+    g0 = jax.grad(lambda p: loss(m0, p))(v)
+    g1 = jax.grad(lambda p: loss(m1, p))(v)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
