@@ -30,10 +30,15 @@ _PEAK_TFLOPS = 197.0
 
 
 def _timed_steps(step, state, *args, n=20):
-    """Chain n steps through the carried state; sync once at the end."""
+    """Chain n steps through the carried state; sync once at the end.
+
+    The pre-t0 step is SYNCED so its device time cannot leak into the timed
+    window (an unsynced dispatch there would make every reported step ~1/n
+    slower than reality)."""
     import jax
 
-    state, m = step(state, *args)  # warmup is assumed done by caller
+    state, m = step(state, *args)
+    jax.device_get(m)
     t0 = time.perf_counter()
     for _ in range(n):
         state, m = step(state, *args)

@@ -32,9 +32,13 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
 
 
 def write_wav(path: str, y: np.ndarray, sr: int) -> None:
-    """Write float audio in [-1, 1] as 16-bit PCM."""
-    y = np.asarray(y, dtype=np.float32)
-    y = np.clip(y, -1.0, 1.0)
+    """Write audio as 16-bit PCM: float input in [-1, 1], or int16
+    passthrough (already-quantized device output from Synthesizer.vocode)."""
+    y = np.asarray(y)
+    if y.dtype == np.int16:
+        wavfile.write(path, sr, y)
+        return
+    y = np.clip(y.astype(np.float32), -1.0, 1.0)
     wavfile.write(path, sr, (y * 32767.0).astype(np.int16))
 
 

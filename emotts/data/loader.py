@@ -53,10 +53,19 @@ class BucketLoader:
         self.drop_last = drop_last
         self.drop_overflow = drop_overflow
         self.prefetch = prefetch
-        # multi-host data sharding: every process computes the SAME seeded
-        # plan and takes a disjoint round-robin slice of its batches (the
-        # SPMD host-feeding pattern; pass jax.process_index()/process_count())
+        # multi-host data sharding (SPMD host feeding): every process
+        # computes the SAME seeded plan and loads only its contiguous ROW
+        # slice of every batch — all hosts then trace identical global batch
+        # shapes, and emotts.parallel.mesh.shard_batch assembles the global
+        # array from the per-process rows with
+        # make_array_from_process_local_data.  Pass
+        # jax.process_index()/jax.process_count().
         assert 0 <= process_index < process_count
+        if process_count > 1:
+            assert batch_size % process_count == 0, (
+                "batch_size must divide evenly across processes",
+                batch_size, process_count,
+            )
         self.process_index = process_index
         self.process_count = process_count
         self._lengths: Optional[List[int]] = None
@@ -96,20 +105,23 @@ class BucketLoader:
             rng = np.random.default_rng(self.seed * 7919 + epoch)
             rng.shuffle(batches)
         if self.process_count > 1:
-            # identical plan on every host → disjoint slices; trailing
-            # batches that don't divide evenly are dropped so all hosts
-            # run the same number of steps (collectives stay in lockstep)
-            usable = len(batches) - len(batches) % self.process_count
-            batches = batches[self.process_index : usable : self.process_count]
+            # every process keeps the SAME batch list (lockstep steps and
+            # identical bucket shapes); only full batches can row-shard
+            batches = [b for b in batches if len(b) == self.batch_size]
         return batches
 
     def batches_per_epoch(self, epoch: int = 0) -> int:
         return len(self.plan_epoch(epoch))
 
     def _make_batch(self, idxs: List[int]):
-        examples = [self.dataset[i] for i in idxs]
         self._ensure_lengths()
+        # bucket decided from the FULL (global) batch so every process
+        # traces the same shapes, THEN this process loads only its rows
         bucket = self._bucket_of(max(self._lengths[i] for i in idxs))
+        if self.process_count > 1:
+            per = len(idxs) // self.process_count
+            idxs = idxs[self.process_index * per : (self.process_index + 1) * per]
+        examples = [self.dataset[i] for i in idxs]
         return self.collate(examples, bucket)
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:

@@ -125,6 +125,11 @@ class Synthesizer:
         return mel, mel_lens
 
     def vocode(self, mel) -> np.ndarray:
+        """mel (B, T, n_mels) → int16 PCM device array (B, T·hop).
+
+        Returns 16-bit PCM (the wav-file sample format) so the host
+        transfer is half the size of float32; divide by 32767 for float
+        waveforms (``intensity_sweep`` does this for its return dict)."""
         if self._voc_fn is None:
             raise RuntimeError("no vocoder params loaded")
         return self._voc_fn(self.vocoder_params, mel)

@@ -189,7 +189,12 @@ class HiFiGANGenerator(nn.Module):
                 x = _conv_transpose1d(x, w_up, u) + b_up
 
             same_dil = len(set(map(tuple, self.resblock_dilations))) == 1
-            if self.fused_mrf and out_ch <= 128 and same_dil:
+            fused_ok = (
+                self.fused_mrf and out_ch <= 128 and same_dil
+                and 128 % out_ch == 0
+                and x.shape[1] % (128 // out_ch) == 0
+            )
+            if fused_ok:
                 stage_params = [
                     ResBlock1(
                         out_ch, k, tuple(dil), return_params=True,

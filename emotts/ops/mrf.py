@@ -49,44 +49,8 @@ LRELU_SLOPE = 0.1
 # ---------------------------------------------------------------------------
 
 
-def _conv_plan(k: int, dilation: int, factor: int) -> List[int]:
-    """Exact shift set of a packed conv: output m needs inputs m+q for these
-    q only.  Skipping absent shifts matters: a dilated conv at F=1 has k
-    nonzero taps spread over a (k−1)·d+1 window — materializing the zeros
-    would inflate FLOPs ~d×."""
-    r = (k - 1) // 2
-    offsets = [p + (j - r) * dilation for p in range(factor) for j in range(k)]
-    return sorted({o // factor for o in offsets})
-
-
-def _pack_weight_blocks(
-    w: jnp.ndarray, dilation: int, factor: int
-) -> jnp.ndarray:
-    """(k, C, C) conv weights → (k', F·C, F·C) shift-tap matrices.
-
-    Built with one scatter into a zeros buffer (trace-time; XLA folds it
-    into the graph prologue — a few μs next to the stage's matmuls).
-    """
-    k, c, _ = w.shape
-    r = (k - 1) // 2
-    f = factor
-    shifts = _conv_plan(k, dilation, f)
-    qidx = {q: i for i, q in enumerate(shifts)}
-    # one gather + mask over a static index map — per-block .at[].set
-    # scatters would execute on device on every call (w is a runtime input)
-    jmap = np.zeros((len(shifts), f, f), np.int32)
-    valid = np.zeros((len(shifts), f, f), bool)
-    for p in range(f):
-        for j in range(k):
-            o = p + (j - r) * dilation
-            jmap[qidx[o // f], o % f, p] = j
-            valid[qidx[o // f], o % f, p] = True
-    gathered = jnp.where(
-        jnp.asarray(valid)[..., None, None], w[jnp.asarray(jmap)], 0
-    )  # (k', pin, p, C, C)
-    return jnp.transpose(gathered, (0, 1, 3, 2, 4)).reshape(
-        len(shifts), f * c, f * c
-    )
+from emotts.ops.polyphase import conv_shift_set as _conv_plan
+from emotts.ops.polyphase import pack_weight_blocks as _pack_weight_blocks
 
 
 class _StagePlan:

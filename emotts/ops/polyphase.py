@@ -41,51 +41,75 @@ def unpack_time(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     return x.reshape(b, m * factor, fc // factor)
 
 
-def pack_conv_weights(
-    w: np.ndarray,  # (k, C, C) flax layout (tap, in, out)
+def conv_shift_set(k: int, dilation: int, factor: int) -> list:
+    """Exact packed-domain shift set: output row m needs input rows m+q for
+    these q only (a dilated conv's absent taps are skipped — materializing
+    them would inflate FLOPs ~d× at factor 1)."""
+    r = (k - 1) // 2
+    offsets = [p + (j - r) * dilation for p in range(factor) for j in range(k)]
+    return sorted({o // factor for o in offsets})
+
+
+def pack_weight_blocks(
+    w: jnp.ndarray,  # (k, C, C) flax layout (tap, in, out)
     dilation: int,
     factor: int,
-) -> Tuple[jnp.ndarray, int, int]:
-    """Transform conv weights into the packed domain.
-
-    Returns (w_packed (k', F·C, F·C), pad_lo, pad_hi) such that
-        y' = conv(x', w_packed, padding=(pad_lo, pad_hi))
-    equals the packed original conv output.
+    shifts=None,  # explicit shift list; default: conv_shift_set(...)
+) -> jnp.ndarray:
+    """(k, C, C) conv weights → (k', F·C, F·C) shift-tap matrices, one per
+    entry of ``shifts``.
 
     Built as ONE gather + mask (w[J] over a static index map), not per-block
     scatters: w is a runtime input (model params), so any construction ops
-    run on device on EVERY call — k·F separate ``.at[].set`` scatters cost
-    real milliseconds per vocoder pass.
+    run on device on EVERY call — k·F separate ``.at[].set`` scatters would
+    cost real milliseconds per vocoder pass.
     """
     k, c_in, c_out = w.shape
     assert c_in == c_out
     r = (k - 1) // 2
     f = factor
+    if shifts is None:
+        shifts = conv_shift_set(k, dilation, f)
+    qidx = {q: i for i, q in enumerate(shifts)}
 
-    offsets = []
-    for p in range(f):  # output phase
-        for j in range(k):
-            offsets.append(p + (j - r) * dilation)
-    q_min = min(o // f for o in offsets)
-    q_max = max(o // f for o in offsets)
-    k_packed = q_max - q_min + 1
-
-    # static map: (q, pin, p) → original tap j (or masked out)
-    jmap = np.zeros((k_packed, f, f), np.int32)
-    valid = np.zeros((k_packed, f, f), bool)
+    # static map: (shift, pin, p) → original tap j (or masked out)
+    jmap = np.zeros((len(shifts), f, f), np.int32)
+    valid = np.zeros((len(shifts), f, f), bool)
     for p in range(f):
         for j in range(k):
             o = p + (j - r) * dilation
-            jmap[o // f - q_min, o % f, p] = j
-            valid[o // f - q_min, o % f, p] = True
+            jmap[qidx[o // f], o % f, p] = j
+            valid[qidx[o // f], o % f, p] = True
 
     gathered = jnp.asarray(w)[jnp.asarray(jmap)]  # (k', F, F, C, C)
     gathered = jnp.where(jnp.asarray(valid)[..., None, None], gathered, 0)
     # (k', pin, p, c_in, c_out) → (k', pin·C_in, p·C_out)
-    wp = jnp.transpose(gathered, (0, 1, 3, 2, 4)).reshape(
-        k_packed, f * c_in, f * c_out
+    return jnp.transpose(gathered, (0, 1, 3, 2, 4)).reshape(
+        len(shifts), f * c_in, f * c_out
     )
-    return wp, -q_min, q_max
+
+
+def pack_conv_weights(
+    w: np.ndarray,  # (k, C, C) flax layout (tap, in, out)
+    dilation: int,
+    factor: int,
+) -> Tuple[jnp.ndarray, int, int]:
+    """Transform conv weights into the packed CONV form (contiguous taps).
+
+    Returns (w_packed (k', F·C, F·C), pad_lo, pad_hi) such that
+        y' = conv(x', w_packed, padding=(pad_lo, pad_hi))
+    equals the packed original conv output.  (lax.conv needs the full
+    contiguous tap window; the Pallas kernels use the sparse
+    :func:`conv_shift_set` form instead.)
+    """
+    k = w.shape[0]
+    r = (k - 1) // 2
+    f = factor
+    offsets = [p + (j - r) * dilation for p in range(f) for j in range(k)]
+    q_min = min(o // f for o in offsets)
+    q_max = max(o // f for o in offsets)
+    shifts = list(range(q_min, q_max + 1))
+    return pack_weight_blocks(w, dilation, f, shifts), -q_min, q_max
 
 
 def packed_conv(x: jnp.ndarray, wp: jnp.ndarray, pad_lo: int, pad_hi: int) -> jnp.ndarray:

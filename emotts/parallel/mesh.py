@@ -50,12 +50,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Device-put a host batch with the batch dim sharded over `data`.
 
+    Single-process: a straight ``device_put``.  Multi-process SPMD: every
+    process passes only its LOCAL rows of the (identically planned) global
+    batch — 1/process_count of the batch dim — and the global array is
+    assembled with ``make_array_from_process_local_data`` so all hosts trace
+    the same global shapes (see BucketLoader's row sharding).
+
     Non-array entries (strings/lists) pass through untouched."""
     sharding = batch_sharding(mesh)
+    multiprocess = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray):
-            out[k] = jax.device_put(v, sharding)
+            if multiprocess:
+                out[k] = jax.make_array_from_process_local_data(sharding, v)
+            else:
+                out[k] = jax.device_put(v, sharding)
         else:
             out[k] = v
     return out

@@ -240,13 +240,17 @@ class G2P:
         if word.endswith("ed") and len(word) > 3:
             stem = word[:-2]
             degem = stem[:-1] if len(stem) > 2 and stem[-1] == stem[-2] else None
-            b = base(stem, stem + "e", degem)
+            # degem first (doubled consonant ⇒ short-vowel stem), then the
+            # e-dropping base BEFORE the bare stem: an undoubled stem whose
+            # +e form exists almost always came from it ('used' → use, not
+            # 'us'; 'noted' → note, not 'not')
+            b = base(degem, stem + "e", stem)
             if b:
                 return _ed_suffix(b)
         if word.endswith("ing") and len(word) > 4:
             stem = word[:-3]
             degem = stem[:-1] if len(stem) > 2 and stem[-1] == stem[-2] else None
-            b = base(stem, stem + "e", degem)
+            b = base(degem, stem + "e", stem)
             if b:
                 return b + ["IH0", "NG"]
         if word.endswith("ily") and len(word) > 4:
@@ -266,13 +270,13 @@ class G2P:
         if word.endswith("er") and len(word) > 3:
             stem = word[:-2]
             degem = stem[:-1] if len(stem) > 2 and stem[-1] == stem[-2] else None
-            b = base(stem, stem + "e", degem)
+            b = base(degem, stem + "e", stem)
             if b:
                 return b + ["ER0"]
         if word.endswith("est") and len(word) > 4:
             stem = word[:-3]
             degem = stem[:-1] if len(stem) > 2 and stem[-1] == stem[-2] else None
-            b = base(stem, stem + "e", degem)
+            b = base(degem, stem + "e", stem)
             if b:
                 return b + ["AH0", "S", "T"]
         for prefix, ph in (("un", ["AH0", "N"]), ("re", ["R", "IY0"]), ("non", ["N", "AA2", "N"])):

@@ -286,8 +286,10 @@ class FS2Trainer:
     def restore(self, exp_path: str) -> bool:
         """Resume full train state (params+opt+step+rng+batch_stats) from an
         experiment's latest checkpoint; returns True if one was found."""
+        from emotts.train.state import restore_with_rng_compat
+
         ckpt = CheckpointManager(exp_path, keep=self.cfg.train_fs2.keep_checkpoints)
-        restored = ckpt.restore(jax.device_get(self.state))
+        restored = restore_with_rng_compat(ckpt, jax.device_get(self.state))
         ckpt.close()
         if restored is None:
             return False

@@ -199,8 +199,10 @@ class RankTrainer:
         """Resume full train state (params+opt+step+rng) from an experiment's
         latest checkpoint; returns True if one was found.  (The reference has
         no resume at all — weights-only best_model.pth, SURVEY.md §5.)"""
+        from emotts.train.state import restore_with_rng_compat
+
         ckpt = CheckpointManager(exp_path, keep=self.cfg.train_rank.keep_checkpoints)
-        restored = ckpt.restore(jax.device_get(self.state))
+        restored = restore_with_rng_compat(ckpt, jax.device_get(self.state))
         ckpt.close()
         if restored is None:
             return False

@@ -53,6 +53,42 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     )
 
 
+_KEY_DATA_SHAPES = {2: "threefry2x32", 4: "rbg"}
+
+
+def restore_with_rng_compat(ckpt, template: TrainState) -> "TrainState | None":
+    """Restore a checkpoint, tolerating a different PRNG impl on disk.
+
+    The stored rng is raw key DATA whose shape identifies the impl
+    ((2,) threefry, (4,) rbg).  If the template's impl doesn't match the
+    checkpoint (e.g. a pre-rbg checkpoint resumed under the new default),
+    retry with the on-disk impl and carry it forward on the restored state —
+    preemption-safe resume survives the config change.
+    """
+    try:
+        restored = ckpt.restore(template)
+    except Exception:
+        # some checkpointers hard-fail on the rng shape mismatch: retry with
+        # the other impl's template shape
+        alt_impl = next(
+            impl
+            for n, impl in _KEY_DATA_SHAPES.items()
+            if n != template.rng.shape[-1]
+        )
+        alt = template.replace(
+            rng=jax.random.key_data(jax.random.key(0, impl=alt_impl)),
+            rng_impl=alt_impl,
+        )
+        restored = ckpt.restore(jax.device_get(alt))
+    if restored is None:
+        return None
+    # the authoritative impl is whatever shape actually came off disk
+    disk_impl = _KEY_DATA_SHAPES.get(int(restored.rng.shape[-1]))
+    if disk_impl is not None and disk_impl != restored.rng_impl:
+        restored = restored.replace(rng_impl=disk_impl)
+    return restored
+
+
 def create_train_state(
     params: Any,
     tx: optax.GradientTransformation,

@@ -56,3 +56,38 @@ def test_restore_missing_returns_false(corpus_cfg, tmp_path):
     mesh = make_mesh(devices=jax.devices()[:1])
     trainer = RankTrainer(cfg, mesh=mesh)
     assert trainer.restore(str(tmp_path / "nonexistent")) is False
+
+
+def test_resume_across_rng_impl_change(tmp_path):
+    """A checkpoint written under threefry resumes under the rbg default
+    (and vice versa): the stored key-data shape differs (2,) vs (4,), and
+    restore must fall back to the on-disk impl instead of failing."""
+    import jax
+    import numpy as np
+    import optax
+
+    from emotts.train.checkpoint import CheckpointManager
+    from emotts.train.state import (
+        create_train_state,
+        restore_with_rng_compat,
+    )
+
+    params = {"w": np.ones((4, 4), np.float32)}
+    tx = optax.adamw(1e-3)
+    old = create_train_state(params, tx, seed=7, rng_impl="threefry2x32")
+    old = old.replace(step=jax.numpy.asarray(11, jax.numpy.int32))
+    mgr = CheckpointManager(str(tmp_path / "exp"))
+    mgr.save(old)
+    mgr.close()
+
+    new_template = create_train_state(params, tx, seed=0, rng_impl="rbg")
+    mgr2 = CheckpointManager(str(tmp_path / "exp"))
+    restored = restore_with_rng_compat(mgr2, jax.device_get(new_template))
+    mgr2.close()
+    assert restored is not None
+    assert int(restored.step) == 11
+    assert restored.rng_impl == "threefry2x32"
+    assert restored.rng.shape[-1] == 2
+    # the restored state's rng streams still work
+    keys = restored.next_rngs("dropout")
+    assert "dropout" in keys

@@ -197,9 +197,9 @@ def test_match_transcript_pairing(tmp_path):
 
 
 def test_bucket_loader_process_sharding(tmp_path):
-    """Multi-host plan sharding: per-process slices are disjoint, cover the
-    plan (minus lockstep-dropped remainder), and all hosts run equally many
-    steps."""
+    """Multi-host row sharding: every process computes the identical batch
+    plan (lockstep shapes/steps) and loads a disjoint contiguous row slice
+    of each batch that reassembles to the full batch."""
     from emotts.data.loader import BucketLoader
 
     class Toy:
@@ -213,18 +213,21 @@ def test_bucket_loader_process_sharding(tmp_path):
             return 10 + (i % 3)
 
     def collate(examples, bucket):
-        return {"idx": np.asarray(examples)}
+        return {"idx": np.asarray(examples), "bucket": bucket}
 
     full = BucketLoader(Toy(), [16], 4, collate, seed=1)
-    plan_full = full.plan_epoch(3)
     shards = [
-        BucketLoader(
-            Toy(), [16], 4, collate, seed=1, process_index=p, process_count=3
-        ).plan_epoch(3)
-        for p in range(3)
+        BucketLoader(Toy(), [16], 4, collate, seed=1, process_index=p, process_count=2)
+        for p in range(2)
     ]
-    assert len({len(s) for s in shards}) == 1  # lockstep
-    flat = [tuple(b) for s in shards for b in s]
-    assert len(flat) == len(set(flat))  # disjoint
-    usable = len(plan_full) - len(plan_full) % 3
-    assert set(flat) == {tuple(b) for b in plan_full[:usable]}
+    plan_full = [b for b in full.plan_epoch(3) if len(b) == 4]
+    plans = [sh.plan_epoch(3) for sh in shards]
+    # identical plans on every host (lockstep collectives)
+    assert plans[0] == plans[1] == plan_full
+    # rows of each batch reassemble exactly; buckets agree across hosts
+    for bi, idxs in enumerate(plan_full):
+        parts = [sh._make_batch(list(idxs)) for sh in shards]
+        assert parts[0]["bucket"] == parts[1]["bucket"]
+        rows = np.concatenate([p["idx"] for p in parts])
+        np.testing.assert_array_equal(rows, np.asarray(idxs))
+        assert all(len(p["idx"]) == 2 for p in parts)
