@@ -134,6 +134,13 @@ def test_g2p_morphology():
         "quickly": ["K", "W", "IH1", "K", "L", "IY0"],
         "happily": ["HH", "AE1", "P", "AH0", "L", "IY0"],
         "unhappy": ["AH0", "N", "HH", "AE1", "P", "IY0"],
+        # e-dropping bases must beat shorter lexicon words (review regression:
+        # 'using' once decomposed as us+ing, 'noted' as not+ed)
+        "using": ["Y", "UW1", "Z", "IH0", "NG"],
+        "noted": ["N", "OW1", "T", "AH0", "D"],
+        "cared": ["K", "EH1", "R", "D"],
+        "hoped": ["HH", "OW1", "P", "T"],
+        "booked": ["B", "UH1", "K", "T"],
     }
     for word, expected in cases.items():
         assert g2p.word_to_phonemes(word) == expected, word
