@@ -45,7 +45,9 @@ class Synthesizer:
         self.vocoder = HiFiGANGenerator(in_channels=cfg.audio.n_mels)
         self.vocoder_params = vocoder_params
         self.intensity_bank = intensity_bank
-        self.g2p = g2p or G2P(cfg.inference.lexicon_path or None)
+        self.g2p = g2p or G2P(
+            cfg.inference.lexicon_path or None, neural=cfg.inference.neural_g2p
+        )
         self._mel_fn = jax.jit(
             self._mel_forward,
             static_argnames=("max_mel_len", "pace", "pitch_rate", "energy_rate"),
@@ -174,14 +176,19 @@ class Synthesizer:
                 out[key] = wav_np[i, : int(mel_lens[i]) * hop]
             else:
                 out[key] = mel_np[i, : int(mel_lens[i])]
-        if out_dir is not None and wav_np is not None:
+        if out_dir is not None:
             Path(out_dir).mkdir(parents=True, exist_ok=True)
-            for (spk, emo, lv), w in out.items():
-                write_wav(
-                    os.path.join(out_dir, f"{spk}_{emo}_{lv}.wav"),
-                    w,
-                    cfg.audio.sampling_rate,
-                )
+            for (spk, emo, lv), item in out.items():
+                if wav_np is not None:
+                    write_wav(
+                        os.path.join(out_dir, f"{spk}_{emo}_{lv}.wav"),
+                        item,
+                        cfg.audio.sampling_rate,
+                    )
+                else:  # no vocoder configured: persist the mels instead
+                    np.save(
+                        os.path.join(out_dir, f"{spk}_{emo}_{lv}_mel.npy"), item
+                    )
         return out
 
 

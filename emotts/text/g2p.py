@@ -169,21 +169,40 @@ def _ed_suffix(base: List[str]) -> List[str]:
 
 
 class G2P:
-    """Lexicon-first G2P with morphological and rule fallbacks.
+    """Lexicon-first G2P with morphological, neural, and rule fallbacks.
 
     Output contract matches the reference ``text2phoneme``
     (fastspeech2/util.py:20-27): cleaned text → ARPABET tokens → filtered to
-    the model vocabulary.  A curated lexicon ships with the package
-    (``BUNDLED_LEXICON``); pass ``lexicon_path`` to extend/override it or
-    ``bundled=False`` for pure-rule behavior.
+    the model vocabulary.  Lookup chain per word:
+
+    1. bundled/user **lexicon** (exact pronunciations),
+    2. **morphological decomposition** of regular inflections against it,
+    3. the bundled **neural G2P** (trained transformer — the counterpart of
+       the reference's SoundChoice model; ``emotts/text/neural_g2p.py``),
+    4. deterministic **rule LTS** (last resort / neural-unavailable path).
+
+    Pass ``lexicon_path`` to extend/override the bundled lexicon,
+    ``bundled=False`` for pure-rule behavior, or ``neural=False`` to disable
+    the trained fallback.
     """
 
-    def __init__(self, lexicon_path: Optional[str] = None, bundled: bool = True):
+    def __init__(
+        self,
+        lexicon_path: Optional[str] = None,
+        bundled: bool = True,
+        neural: bool = True,
+    ):
         self.lexicon: Dict[str, List[str]] = {}
         if bundled:
             self.load_lexicon(BUNDLED_LEXICON)
         if lexicon_path:
             self.load_lexicon(lexicon_path, override=True)
+        self.neural = None
+        if neural:
+            from emotts.text.neural_g2p import BUNDLED_WEIGHTS, NeuralG2P
+
+            if NeuralG2P.available(BUNDLED_WEIGHTS):
+                self.neural = NeuralG2P(BUNDLED_WEIGHTS)
 
     def load_lexicon(self, path: str, override: bool = False) -> None:
         """Load a CMUdict-format lexicon: ``WORD  PH1 PH2 ...`` per line.
@@ -292,6 +311,10 @@ class G2P:
         morph = self._morph(word)
         if morph:
             return morph
+        if self.neural is not None:
+            hyp = self.neural.word_to_phonemes(word)
+            if hyp:
+                return hyp
         return letter_to_sound(word)
 
     def __call__(self, text: str) -> List[str]:

@@ -1,0 +1,353 @@
+"""Neural grapheme-to-phoneme model.
+
+The reference's G2P is the pretrained *neural* SoundChoice model
+(fastspeech2/util.py:20-27, ``speechbrain/soundchoice-g2p``).  This module is
+the rebuild's trained equivalent: a compact character-level transformer
+encoder-decoder (2+2 layers, d=128) trained on the bundled pronunciation
+lexicon plus its regular morphological expansions (tools/train_g2p.py).  It
+slots into the G2P fallback chain *between* the lexicon/morphology lookup and
+the rule LTS: lexicon -> morphology -> neural -> rules.
+
+Two forward implementations share one flat weight dict (the packaged
+``g2p_weights.npz``):
+
+* **numpy** (inference, default) — the text frontend is host-side work that
+  must not initialize a TPU client or pay a remote-compile round trip for a
+  ~1M-param model; greedy decode of one word is microseconds on CPU.
+* **JAX** (training + parity tests) — an exact mirror used by
+  tools/train_g2p.py; ``tests/test_neural_g2p.py`` pins numpy==jax.
+
+Everything is fp32 with exact-erf GELU so the two paths agree bit-for-bit up
+to blas reduction order.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+from scipy.special import erf
+
+from emotts.text.vocab import VALID_SYMBOLS
+
+# ---------------------------------------------------------------------------
+# Vocabularies (fixed; versioned inside the weights file)
+# ---------------------------------------------------------------------------
+
+CHARS = "abcdefghijklmnopqrstuvwxyz'"
+CHAR_PAD = 0
+_CHAR_TO_ID = {c: i + 1 for i, c in enumerate(CHARS)}
+N_CHAR_TOKENS = len(CHARS) + 1  # + pad
+
+PHON_PAD, PHON_BOS, PHON_EOS = 0, 1, 2
+_PHONES = list(VALID_SYMBOLS)  # 84 ARPABET symbols incl. stress variants
+_PHONE_TO_ID = {p: i + 3 for i, p in enumerate(_PHONES)}
+_ID_TO_PHONE = {i + 3: p for i, p in enumerate(_PHONES)}
+N_PHON_TOKENS = len(_PHONES) + 3
+
+MAX_WORD_LEN = 28  # characters
+MAX_PHON_LEN = 32  # phonemes incl. EOS
+
+BUNDLED_WEIGHTS = str(Path(__file__).parent / "data" / "g2p_weights.npz")
+
+# architecture constants (must match tools/train_g2p.py)
+D_MODEL = 128
+N_HEADS = 4
+D_FF = 512
+N_ENC = 2
+N_DEC = 2
+_EPS = 1e-5
+
+
+def encode_word(word: str) -> Optional[np.ndarray]:
+    """Word -> padded char-id array (MAX_WORD_LEN,), or None if unencodable."""
+    word = word.lower()
+    if not word or len(word) > MAX_WORD_LEN:
+        return None
+    ids = np.zeros(MAX_WORD_LEN, dtype=np.int32)
+    for i, ch in enumerate(word):
+        cid = _CHAR_TO_ID.get(ch)
+        if cid is None:
+            return None
+        ids[i] = cid
+    return ids
+
+
+def encode_phonemes(phones: List[str]) -> Optional[np.ndarray]:
+    """Phoneme list -> decoder target ids ``[p1..pn, EOS, pad...]``."""
+    if not phones or len(phones) + 1 > MAX_PHON_LEN:
+        return None
+    ids = np.zeros(MAX_PHON_LEN, dtype=np.int32)
+    for i, p in enumerate(phones):
+        pid = _PHONE_TO_ID.get(p)
+        if pid is None:
+            return None
+        ids[i] = pid
+    ids[len(phones)] = PHON_EOS
+    return ids
+
+
+def decode_phoneme_ids(ids) -> List[str]:
+    out: List[str] = []
+    for i in ids:
+        i = int(i)
+        if i == PHON_EOS or i == PHON_PAD:
+            break
+        if i in _ID_TO_PHONE:
+            out.append(_ID_TO_PHONE[i])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# numpy forward (inference path)
+# ---------------------------------------------------------------------------
+
+
+def _ln(x, g, b):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + _EPS) * g + b
+
+
+def _gelu(x):
+    return 0.5 * x * (1.0 + erf(x / np.sqrt(2.0).astype(x.dtype)))
+
+
+def _attn(q_x, kv_x, p, pre, mask):
+    """Multi-head attention.  q_x (Tq,D), kv_x (Tk,D); mask (Tq,Tk) additive."""
+    q = q_x @ p[pre + "wq"]
+    k = kv_x @ p[pre + "wk"]
+    v = kv_x @ p[pre + "wv"]
+    dh = D_MODEL // N_HEADS
+    tq, tk = q.shape[0], k.shape[0]
+    q = q.reshape(tq, N_HEADS, dh).transpose(1, 0, 2)
+    k = k.reshape(tk, N_HEADS, dh).transpose(1, 0, 2)
+    v = v.reshape(tk, N_HEADS, dh).transpose(1, 0, 2)
+    s = q @ k.transpose(0, 2, 1) / np.sqrt(np.float32(dh)) + mask
+    s = s - s.max(-1, keepdims=True)
+    a = np.exp(s)
+    a = a / a.sum(-1, keepdims=True)
+    o = (a @ v).transpose(1, 0, 2).reshape(tq, D_MODEL)
+    return o @ p[pre + "wo"]
+
+
+def _enc_layer(x, p, pre, pad_mask):
+    h = _ln(x, p[pre + "ln1_g"], p[pre + "ln1_b"])
+    x = x + _attn(h, h, p, pre + "attn_", pad_mask)
+    h = _ln(x, p[pre + "ln2_g"], p[pre + "ln2_b"])
+    return x + _gelu(h @ p[pre + "ff1"]) @ p[pre + "ff2"]
+
+
+def _dec_layer(x, enc, p, pre, causal_mask, enc_pad_mask):
+    h = _ln(x, p[pre + "ln1_g"], p[pre + "ln1_b"])
+    x = x + _attn(h, h, p, pre + "self_", causal_mask)
+    h = _ln(x, p[pre + "ln2_g"], p[pre + "ln2_b"])
+    x = x + _attn(h, enc, p, pre + "cross_", enc_pad_mask)
+    h = _ln(x, p[pre + "ln3_g"], p[pre + "ln3_b"])
+    return x + _gelu(h @ p[pre + "ff1"]) @ p[pre + "ff2"]
+
+
+def _np_encode(p: Dict[str, np.ndarray], char_ids: np.ndarray):
+    t = int((char_ids != CHAR_PAD).sum())
+    ids = char_ids[:t]
+    x = p["char_emb"][ids] + p["char_pos"][:t]
+    pad_mask = np.zeros((t, t), dtype=np.float32)
+    for i in range(N_ENC):
+        x = _enc_layer(x, p, f"enc{i}_", pad_mask)
+    return _ln(x, p["enc_ln_g"], p["enc_ln_b"])
+
+
+def np_greedy_decode(p: Dict[str, np.ndarray], char_ids: np.ndarray) -> List[int]:
+    """Greedy autoregressive decode (numpy).  Returns phoneme ids (no EOS)."""
+    enc = _np_encode(p, char_ids)
+    out: List[int] = []
+    prev = [PHON_BOS]
+    for step in range(MAX_PHON_LEN):
+        t = len(prev)
+        x = p["phon_emb"][np.array(prev)] + p["phon_pos"][:t]
+        causal = np.triu(np.full((t, t), -1e9, dtype=np.float32), k=1)
+        enc_mask = np.zeros((t, enc.shape[0]), dtype=np.float32)
+        for i in range(N_DEC):
+            x = _dec_layer(x, enc, p, f"dec{i}_", causal, enc_mask)
+        x = _ln(x, p["dec_ln_g"], p["dec_ln_b"])
+        logits = x[-1] @ p["out_proj"]
+        nxt = int(np.argmax(logits))
+        if nxt == PHON_EOS or nxt == PHON_PAD:
+            break
+        out.append(nxt)
+        prev.append(nxt)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# JAX mirror (training + parity tests) — lazy jax import
+# ---------------------------------------------------------------------------
+
+
+def jax_forward(p, char_ids, phon_in, *, dropout_rate=0.0, rng=None):
+    """Teacher-forced logits, batched.  char_ids (B,Tw) int32, phon_in (B,Tp)
+    int32 (BOS-shifted).  Returns (B,Tp,N_PHON_TOKENS).  Exact mirror of the
+    numpy math (same weight dict), plus optional dropout for training."""
+    import jax
+    import jax.numpy as jnp
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def ln(x, g, b):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) / jnp.sqrt(var + _EPS) * g + b
+
+    drops = iter(jax.random.split(rng, 64)) if rng is not None else None
+
+    def drop(x):
+        if dropout_rate == 0.0 or drops is None:
+            return x
+        keep = jax.random.bernoulli(next(drops), 1.0 - dropout_rate, x.shape)
+        return jnp.where(keep, x / (1.0 - dropout_rate), 0.0)
+
+    def attn(q_x, kv_x, pre, mask):
+        q = jnp.einsum("btd,de->bte", q_x, p[pre + "wq"], precision=hi)
+        k = jnp.einsum("btd,de->bte", kv_x, p[pre + "wk"], precision=hi)
+        v = jnp.einsum("btd,de->bte", kv_x, p[pre + "wv"], precision=hi)
+        dh = D_MODEL // N_HEADS
+        b, tq, tk = q.shape[0], q.shape[1], k.shape[1]
+        q = q.reshape(b, tq, N_HEADS, dh)
+        k = k.reshape(b, tk, N_HEADS, dh)
+        v = v.reshape(b, tk, N_HEADS, dh)
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=hi) / jnp.sqrt(
+            jnp.float32(dh)
+        )
+        a = jax.nn.softmax(s + mask, axis=-1)
+        a = drop(a)
+        o = jnp.einsum("bhqk,bkhd->bqhd", a, v, precision=hi).reshape(b, tq, D_MODEL)
+        return jnp.einsum("btd,de->bte", o, p[pre + "wo"], precision=hi)
+
+    def ffn(x, pre):
+        h = jax.nn.gelu(
+            jnp.einsum("btd,df->btf", x, p[pre + "ff1"], precision=hi),
+            approximate=False,
+        )
+        h = drop(h)
+        return jnp.einsum("btf,fd->btd", h, p[pre + "ff2"], precision=hi)
+
+    char_pad = (char_ids == CHAR_PAD)[:, None, None, :] * jnp.float32(-1e9)
+    tw = char_ids.shape[1]
+    x = p["char_emb"][char_ids] + p["char_pos"][None, :tw]
+    x = drop(x)
+    for i in range(N_ENC):
+        pre = f"enc{i}_"
+        h = ln(x, p[pre + "ln1_g"], p[pre + "ln1_b"])
+        x = x + drop(attn(h, h, pre + "attn_", char_pad))
+        h = ln(x, p[pre + "ln2_g"], p[pre + "ln2_b"])
+        x = x + drop(ffn(h, pre))
+    enc = ln(x, p["enc_ln_g"], p["enc_ln_b"])
+
+    tp = phon_in.shape[1]
+    causal = jnp.triu(jnp.full((tp, tp), -1e9, dtype=jnp.float32), k=1)[None, None]
+    y = p["phon_emb"][phon_in] + p["phon_pos"][None, :tp]
+    y = drop(y)
+    for i in range(N_DEC):
+        pre = f"dec{i}_"
+        h = ln(y, p[pre + "ln1_g"], p[pre + "ln1_b"])
+        y = y + drop(attn(h, h, pre + "self_", causal))
+        h = ln(y, p[pre + "ln2_g"], p[pre + "ln2_b"])
+        y = y + drop(attn(h, enc, pre + "cross_", char_pad))
+        h = ln(y, p[pre + "ln3_g"], p[pre + "ln3_b"])
+        y = y + drop(ffn(h, pre))
+    y = ln(y, p["dec_ln_g"], p["dec_ln_b"])
+    return jnp.einsum("btd,dv->btv", y, p["out_proj"], precision=hi)
+
+
+def init_params(seed: int = 0) -> Dict[str, np.ndarray]:
+    """Fresh fp32 weight dict (numpy; framework-agnostic layout)."""
+    rng = np.random.default_rng(seed)
+
+    def dense(n_in, n_out):
+        return (rng.standard_normal((n_in, n_out)) / np.sqrt(n_in)).astype(np.float32)
+
+    p: Dict[str, np.ndarray] = {
+        "char_emb": (rng.standard_normal((N_CHAR_TOKENS, D_MODEL)) * 0.02).astype(
+            np.float32
+        ),
+        "char_pos": (rng.standard_normal((MAX_WORD_LEN, D_MODEL)) * 0.02).astype(
+            np.float32
+        ),
+        "phon_emb": (rng.standard_normal((N_PHON_TOKENS, D_MODEL)) * 0.02).astype(
+            np.float32
+        ),
+        "phon_pos": (rng.standard_normal((MAX_PHON_LEN, D_MODEL)) * 0.02).astype(
+            np.float32
+        ),
+        "enc_ln_g": np.ones(D_MODEL, np.float32),
+        "enc_ln_b": np.zeros(D_MODEL, np.float32),
+        "dec_ln_g": np.ones(D_MODEL, np.float32),
+        "dec_ln_b": np.zeros(D_MODEL, np.float32),
+        "out_proj": dense(D_MODEL, N_PHON_TOKENS),
+    }
+
+    def add_attn(pre):
+        for n in ("wq", "wk", "wv", "wo"):
+            p[pre + n] = dense(D_MODEL, D_MODEL)
+
+    for i in range(N_ENC):
+        pre = f"enc{i}_"
+        add_attn(pre + "attn_")
+        p[pre + "ff1"] = dense(D_MODEL, D_FF)
+        p[pre + "ff2"] = dense(D_FF, D_MODEL)
+        for j in (1, 2):
+            p[pre + f"ln{j}_g"] = np.ones(D_MODEL, np.float32)
+            p[pre + f"ln{j}_b"] = np.zeros(D_MODEL, np.float32)
+    for i in range(N_DEC):
+        pre = f"dec{i}_"
+        add_attn(pre + "self_")
+        add_attn(pre + "cross_")
+        p[pre + "ff1"] = dense(D_MODEL, D_FF)
+        p[pre + "ff2"] = dense(D_FF, D_MODEL)
+        for j in (1, 2, 3):
+            p[pre + f"ln{j}_g"] = np.ones(D_MODEL, np.float32)
+            p[pre + f"ln{j}_b"] = np.zeros(D_MODEL, np.float32)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Inference wrapper
+# ---------------------------------------------------------------------------
+
+
+class NeuralG2P:
+    """Greedy-decode wrapper over the packaged weights (numpy path).
+
+    Returns ``None`` for words it cannot encode (non-alpha chars, too long)
+    so the caller can fall through to the rule LTS.
+    """
+
+    def __init__(self, weights_path: str = BUNDLED_WEIGHTS):
+        data = np.load(weights_path)
+        if int(data["__version__"][0]) != 1:
+            raise ValueError(f"unsupported g2p weights version in {weights_path}")
+        self.params = {
+            k: data[k].astype(np.float32)
+            for k in data.files
+            if not k.startswith("__")
+        }
+
+    @staticmethod
+    def available(weights_path: str = BUNDLED_WEIGHTS) -> bool:
+        return Path(weights_path).exists()
+
+    @lru_cache(maxsize=4096)
+    def _decode_cached(self, word: str) -> Optional[tuple]:
+        ids = encode_word(word)
+        if ids is None:
+            return None
+        out = np_greedy_decode(self.params, ids)
+        if not out:
+            return None
+        return tuple(decode_phoneme_ids(out))
+
+    def word_to_phonemes(self, word: str) -> Optional[List[str]]:
+        res = self._decode_cached(word.lower())
+        return list(res) if res else None

@@ -190,6 +190,7 @@ class InferenceConfig:
     text: str = "gregson was asleep when he re-entered the cabin."
     vocoder_checkpoint: str = ""  # path to a converted HiFi-GAN checkpoint
     lexicon_path: str = ""  # optional CMUdict-format lexicon for G2P
+    neural_g2p: bool = True  # trained OOV fallback (emotts/text/neural_g2p.py)
     output_path: str = "demo"
 
 

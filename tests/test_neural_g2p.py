@@ -1,0 +1,121 @@
+"""Neural G2P: packaged weights, numpy==jax parity, quality gates, fallback
+chain integration (reference capability: SoundChoice neural G2P,
+fastspeech2/util.py:20-27)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from emotts.text import neural_g2p as ng
+from emotts.text.g2p import G2P, letter_to_sound
+from emotts.text.vocab import VALID_TOKENS
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+
+@pytest.fixture(scope="module")
+def model():
+    assert ng.NeuralG2P.available(), "packaged g2p_weights.npz missing"
+    return ng.NeuralG2P()
+
+
+def test_weights_packaged_and_versioned(model):
+    # architecture constants must match the packaged weights
+    assert model.params["char_emb"].shape == (ng.N_CHAR_TOKENS, ng.D_MODEL)
+    assert model.params["out_proj"].shape == (ng.D_MODEL, ng.N_PHON_TOKENS)
+    # training metrics recorded in the artifact pass the quality bar
+    data = np.load(ng.BUNDLED_WEIGHTS)
+    assert float(data["__eval_exact__"][0]) >= 0.5
+    assert float(data["__eval_per__"][0]) <= 0.15
+
+
+def test_decode_outputs_valid_vocab(model):
+    for word in ["blorptastic", "xylophagous", "zembla", "quixotry"]:
+        phones = model.word_to_phonemes(word)
+        assert phones, word
+        assert all(p in VALID_TOKENS for p in phones), (word, phones)
+
+
+def test_decode_deterministic(model):
+    a = model.word_to_phonemes("crystalline")
+    b = ng.NeuralG2P().word_to_phonemes("crystalline")
+    assert a == b
+
+
+def test_unencodable_words_return_none(model):
+    assert model.word_to_phonemes("café") is None
+    assert model.word_to_phonemes("x" * 40) is None
+    assert model.word_to_phonemes("") is None
+
+
+def test_numpy_jax_forward_parity(model):
+    """The jax training forward and the numpy inference forward are the same
+    function of the same weight dict."""
+    p = model.params
+    words = ["parity", "checking", "zyzzyva"]
+    for w in words:
+        cid = ng.encode_word(w)
+        t = int((cid != ng.CHAR_PAD).sum())
+        # numpy teacher-forced pass over the model's own greedy output
+        out_ids = ng.np_greedy_decode(p, cid)
+        prev = np.array([ng.PHON_BOS] + out_ids, dtype=np.int32)
+        logits_jax = np.asarray(
+            ng.jax_forward(p, cid[None, :t], prev[None])[0]
+        )
+        # numpy mirror: rerun the decoder stack over the full prefix
+        enc = ng._np_encode(p, cid)
+        tp = len(prev)
+        x = p["phon_emb"][prev] + p["phon_pos"][:tp]
+        causal = np.triu(np.full((tp, tp), -1e9, dtype=np.float32), k=1)
+        enc_mask = np.zeros((tp, enc.shape[0]), dtype=np.float32)
+        for i in range(ng.N_DEC):
+            x = ng._dec_layer(x, enc, p, f"dec{i}_", causal, enc_mask)
+        x = ng._ln(x, p["dec_ln_g"], p["dec_ln_b"])
+        logits_np = x @ p["out_proj"]
+        np.testing.assert_allclose(logits_np, logits_jax, rtol=2e-4, atol=2e-4)
+        # same argmax path
+        assert list(np.argmax(logits_np, -1)) == list(np.argmax(logits_jax, -1))
+
+
+def test_heldout_quality_beats_rule_lts(model):
+    """On truly held-out lexicon words (seeded split from the training tool),
+    the neural model must beat the rule LTS by a wide margin."""
+    from train_g2p import _edit, build_pairs
+
+    _, eval_pairs = build_pairs(seed=0, holdout_frac=0.1)
+    rng = np.random.default_rng(3)
+    sample = [eval_pairs[i] for i in rng.permutation(len(eval_pairs))[:150]]
+    n_exact = per_num = per_den = lts_per_num = 0
+    for w, ref in sample:
+        hyp = model.word_to_phonemes(w) or []
+        n_exact += hyp == ref
+        per_num += _edit(hyp, ref)
+        per_den += len(ref)
+        lts_per_num += _edit(letter_to_sound(w), ref)
+    assert n_exact / len(sample) >= 0.45, n_exact / len(sample)
+    assert per_num / per_den <= 0.20, per_num / per_den
+    assert per_num < lts_per_num * 0.6  # >=40% PER reduction vs rules
+
+
+def test_g2p_fallback_chain_uses_neural():
+    g = G2P()
+    assert g.neural is not None
+    # pick an OOV that neither lexicon nor morphology resolves
+    word = "zyzzyva"
+    assert word not in g.lexicon and g._morph(word) is None
+    assert g.word_to_phonemes(word) == g.neural.word_to_phonemes(word)
+    # lexicon still wins for known words
+    assert g.word_to_phonemes("about") == g.lexicon["about"]
+    # neural=False restores the pure rule path
+    g_rules = G2P(neural=False)
+    assert g_rules.neural is None
+    assert g_rules.word_to_phonemes(word) == letter_to_sound(word)
+
+
+def test_g2p_full_sentence_valid():
+    g = G2P()
+    seq = g.text_to_sequence("The quixotic zyzzyva vocalized, 3 times!")
+    assert len(seq) > 10
+    assert all(isinstance(i, int) for i in seq)

@@ -1,0 +1,259 @@
+"""Train the neural G2P (emotts/text/neural_g2p.py) on the bundled lexicon.
+
+The reference relies on the pretrained SoundChoice neural G2P
+(fastspeech2/util.py:20-27); this tool trains the rebuild's equivalent from
+in-repo data only (zero-egress friendly): the curated lexicon plus regular
+morphological expansions generated through the same voicing rules the
+runtime morphology uses (emotts/text/g2p.py), so the model learns both root
+orthography->ARPABET patterns and the regular-inflection system.
+
+Held-out evaluation splits by BASE word (derived forms follow their base to
+the same side) so there is no orthographic leakage, and reports the rule-LTS
+baseline on the same split.
+
+Run (CPU is plenty — ~1M params):
+    JAX_PLATFORMS=cpu python tools/train_g2p.py \
+        --out emotts/text/data/g2p_weights.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from emotts.text import g2p as g2p_mod
+from emotts.text import neural_g2p as ng
+from emotts.text.g2p import G2P, letter_to_sound
+
+
+# ---------------------------------------------------------------------------
+# Data: lexicon + morphological expansion
+# ---------------------------------------------------------------------------
+
+
+def _derived_forms(word: str):
+    """Candidate regular inflections of ``word`` (orthography only)."""
+    out = []
+    sibilant_end = word.endswith(("s", "x", "z", "ch", "sh"))
+    if word.endswith("y") and len(word) > 2 and word[-2] not in "aeiou":
+        out += [word[:-1] + "ies", word[:-1] + "ied", word[:-1] + "ier",
+                word[:-1] + "iest", word[:-1] + "ily"]
+    elif sibilant_end:
+        out.append(word + "es")
+    else:
+        out.append(word + "s")
+    if word.endswith("e"):
+        out += [word + "d", word[:-1] + "ing", word + "r", word + "st"]
+    else:
+        out += [word + "ed", word + "ing", word + "er", word + "est"]
+    out += [word + "ly", word + "ness", "un" + word, "re" + word, "non" + word]
+    return out
+
+
+def build_pairs(seed: int = 0, holdout_frac: float = 0.1):
+    """(train_pairs, eval_pairs) of (word, phoneme-list), split by base word."""
+    g2p = G2P()
+    base_words = sorted(g2p.lexicon.keys())
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(base_words))
+    n_eval = int(len(base_words) * holdout_frac)
+    eval_bases = {base_words[i] for i in order[:n_eval]}
+
+    train, evalp = [], []
+    skipped = 0
+    for w in base_words:
+        pron = g2p.lexicon[w]
+        bucket = evalp if w in eval_bases else train
+        if ng.encode_word(w) is None or ng.encode_phonemes(pron) is None:
+            skipped += 1
+            continue
+        bucket.append((w, list(pron)))
+        for d in _derived_forms(w):
+            if d in g2p.lexicon:
+                continue  # real entry wins; avoid duplicate conflicting targets
+            morph = g2p._morph(d)
+            if morph is None:
+                continue
+            if ng.encode_word(d) is None or ng.encode_phonemes(morph) is None:
+                continue
+            bucket.append((d, morph))
+    # dedup derived forms that multiple bases can generate (first wins)
+    def dedup(pairs):
+        seen, out = set(), []
+        for w, p in pairs:
+            if w in seen:
+                continue
+            seen.add(w)
+            out.append((w, p))
+        return out
+
+    train, evalp = dedup(train), dedup(evalp)
+    # a derived form whose surface appears on both sides leaks; drop from train
+    eval_words = {w for w, _ in evalp}
+    train = [(w, p) for w, p in train if w not in eval_words]
+    print(f"pairs: train={len(train)} eval={len(evalp)} (skipped {skipped})")
+    return train, evalp
+
+
+def vectorize(pairs):
+    n = len(pairs)
+    chars = np.zeros((n, ng.MAX_WORD_LEN), np.int32)
+    targets = np.zeros((n, ng.MAX_PHON_LEN), np.int32)
+    for i, (w, p) in enumerate(pairs):
+        chars[i] = ng.encode_word(w)
+        targets[i] = ng.encode_phonemes(p)
+    # decoder input: BOS-shifted targets
+    dec_in = np.zeros_like(targets)
+    dec_in[:, 0] = ng.PHON_BOS
+    dec_in[:, 1:] = targets[:, :-1]
+    return chars, dec_in, targets
+
+
+# ---------------------------------------------------------------------------
+# Training (JAX)
+# ---------------------------------------------------------------------------
+
+
+def train(args):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    train_pairs, eval_pairs = build_pairs(seed=args.seed,
+                                          holdout_frac=args.holdout)
+    chars, dec_in, targets = vectorize(train_pairs)
+    n = len(chars)
+    # dataset lives on-device; per-step batches are on-device gathers so the
+    # host only ships a (B,) index array per step
+    d_chars, d_dec_in, d_targets = (jnp.asarray(a)
+                                    for a in (chars, dec_in, targets))
+
+    params = {k: jnp.asarray(v) for k, v in ng.init_params(args.seed).items()}
+    steps_per_epoch = max(1, n // args.batch)
+    total_steps = steps_per_epoch * args.epochs
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, warmup_steps=min(200, total_steps // 10),
+        decay_steps=total_steps)
+    opt = optax.adamw(sched, weight_decay=1e-4)
+    opt_state = opt.init(params)
+
+    smooth = args.label_smoothing
+
+    def loss_fn(p, c, di, tg, rng):
+        logits = ng.jax_forward(p, c, di, dropout_rate=args.dropout, rng=rng)
+        mask = (tg != ng.PHON_PAD).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, tg[..., None], axis=-1)[..., 0]
+        uni = -logp.mean(-1)
+        ce = (1.0 - smooth) * nll + smooth * uni
+        return (ce * mask).sum() / mask.sum()
+
+    @jax.jit
+    def step(p, s, idx, rng):
+        c, di, tg = d_chars[idx], d_dec_in[idx], d_targets[idx]
+        l, g = jax.value_and_grad(loss_fn)(p, c, di, tg, rng)
+        updates, s = opt.update(g, s, p)
+        return optax.apply_updates(p, updates), s, l
+
+    np_rng = np.random.default_rng(args.seed + 1)
+    rng = jax.random.PRNGKey(args.seed)
+    step_keys = jax.random.split(rng, total_steps)  # pre-split: no host sync
+    t0 = time.time()
+    it = 0
+    for epoch in range(args.epochs):
+        perm = np_rng.permutation(n)
+        losses = []  # device arrays; sync only at print time
+        for b in range(steps_per_epoch):
+            idx = jnp.asarray(perm[b * args.batch:(b + 1) * args.batch])
+            params, opt_state, l = step(params, opt_state, idx, step_keys[it])
+            losses.append(l)
+            it += 1
+        if (epoch + 1) % max(1, args.epochs // 12) == 0 or epoch == 0:
+            ep_loss = float(jnp.mean(jnp.stack(losses)))
+            print(f"epoch {epoch + 1:3d}/{args.epochs}  loss {ep_loss:.4f}"
+                  f"  ({time.time() - t0:.0f}s)", flush=True)
+
+    np_params = {k: np.asarray(v, np.float32) for k, v in params.items()}
+    return np_params, train_pairs, eval_pairs
+
+
+# ---------------------------------------------------------------------------
+# Evaluation
+# ---------------------------------------------------------------------------
+
+
+def _edit(a, b):
+    m, k = len(a), len(b)
+    d = np.arange(k + 1)
+    for i in range(1, m + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, k + 1):
+            cur = min(d[j] + 1, d[j - 1] + 1,
+                      prev + (a[i - 1] != b[j - 1]))
+            prev, d[j] = d[j], cur
+    return int(d[k])
+
+
+def _strip(ps):
+    return [p.rstrip("012") for p in ps]
+
+
+def evaluate(np_params, pairs, label):
+    exact = exact_ns = 0
+    per_num = per_den = 0
+    lts_exact = lts_per_num = 0
+    for w, ref in pairs:
+        hyp = ng.decode_phoneme_ids(
+            ng.np_greedy_decode(np_params, ng.encode_word(w)))
+        lts = letter_to_sound(w)
+        exact += hyp == ref
+        exact_ns += _strip(hyp) == _strip(ref)
+        per_num += _edit(hyp, ref)
+        per_den += len(ref)
+        lts_exact += lts == ref
+        lts_per_num += _edit(lts, ref)
+    n = len(pairs)
+    print(f"[{label}] n={n}")
+    print(f"  neural: exact {exact / n:.3f}  exact(no-stress) {exact_ns / n:.3f}"
+          f"  PER {per_num / per_den:.3f}")
+    print(f"  rule LTS: exact {lts_exact / n:.3f}  PER {lts_per_num / per_den:.3f}")
+    return dict(exact=exact / n, exact_ns=exact_ns / n, per=per_num / per_den,
+                lts_exact=lts_exact / n, lts_per=lts_per_num / per_den)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=str(Path(g2p_mod.BUNDLED_LEXICON).parent
+                                         / "g2p_weights.npz"))
+    ap.add_argument("--epochs", type=int, default=80)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--dropout", type=float, default=0.2)
+    ap.add_argument("--label-smoothing", type=float, default=0.1)
+    ap.add_argument("--holdout", type=float, default=0.1)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    np_params, train_pairs, eval_pairs = train(args)
+    rng = np.random.default_rng(9)
+    sample = [train_pairs[i] for i in rng.permutation(len(train_pairs))[:800]]
+    evaluate(np_params, sample, "train sample")
+    metrics = evaluate(np_params, eval_pairs, "held-out")
+
+    out = dict(np_params)
+    out["__version__"] = np.array([1], np.int32)
+    out["__eval_exact__"] = np.array([metrics["exact"]], np.float32)
+    out["__eval_per__"] = np.array([metrics["per"]], np.float32)
+    np.savez_compressed(args.out, **out)
+    size = Path(args.out).stat().st_size / 1e6
+    print(f"saved {args.out} ({size:.1f} MB)")
+
+
+if __name__ == "__main__":
+    main()
