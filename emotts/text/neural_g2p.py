@@ -159,26 +159,65 @@ def _np_encode(p: Dict[str, np.ndarray], char_ids: np.ndarray):
     return _ln(x, p["enc_ln_g"], p["enc_ln_b"])
 
 
+def _np_step_logits(p, enc, prev: List[int]) -> np.ndarray:
+    """Next-token logits for one decoder prefix (numpy)."""
+    t = len(prev)
+    x = p["phon_emb"][np.array(prev)] + p["phon_pos"][:t]
+    causal = np.triu(np.full((t, t), -1e9, dtype=np.float32), k=1)
+    enc_mask = np.zeros((t, enc.shape[0]), dtype=np.float32)
+    for i in range(N_DEC):
+        x = _dec_layer(x, enc, p, f"dec{i}_", causal, enc_mask)
+    x = _ln(x, p["dec_ln_g"], p["dec_ln_b"])
+    return x[-1] @ p["out_proj"]
+
+
 def np_greedy_decode(p: Dict[str, np.ndarray], char_ids: np.ndarray) -> List[int]:
     """Greedy autoregressive decode (numpy).  Returns phoneme ids (no EOS)."""
     enc = _np_encode(p, char_ids)
     out: List[int] = []
     prev = [PHON_BOS]
     for step in range(MAX_PHON_LEN):
-        t = len(prev)
-        x = p["phon_emb"][np.array(prev)] + p["phon_pos"][:t]
-        causal = np.triu(np.full((t, t), -1e9, dtype=np.float32), k=1)
-        enc_mask = np.zeros((t, enc.shape[0]), dtype=np.float32)
-        for i in range(N_DEC):
-            x = _dec_layer(x, enc, p, f"dec{i}_", causal, enc_mask)
-        x = _ln(x, p["dec_ln_g"], p["dec_ln_b"])
-        logits = x[-1] @ p["out_proj"]
-        nxt = int(np.argmax(logits))
+        nxt = int(np.argmax(_np_step_logits(p, enc, prev)))
         if nxt == PHON_EOS or nxt == PHON_PAD:
             break
         out.append(nxt)
         prev.append(nxt)
     return out
+
+
+def np_beam_decode(
+    p: Dict[str, np.ndarray], char_ids: np.ndarray, beam: int = 4
+) -> List[int]:
+    """Length-normalized beam search (numpy).  Returns phoneme ids (no EOS)."""
+    enc = _np_encode(p, char_ids)
+    # (prefix, logprob, done)
+    beams = [([PHON_BOS], 0.0, False)]
+    for step in range(MAX_PHON_LEN):
+        if all(d for _, _, d in beams):
+            break
+        cand = []
+        for prefix, lp, done in beams:
+            if done:
+                cand.append((prefix, lp, True))
+                continue
+            logits = _np_step_logits(p, enc, prefix)
+            logits = logits - logits.max()
+            logp = logits - np.log(np.exp(logits).sum())
+            top = np.argsort(logp)[-beam:]
+            for tok in top:
+                tok = int(tok)
+                if tok == PHON_PAD:
+                    continue
+                cand.append((prefix + [tok], lp + float(logp[tok]),
+                             tok == PHON_EOS))
+        # keep top `beam` by length-normalized score (EOS counts in length)
+        cand.sort(key=lambda c: c[1] / max(1, len(c[0]) - 1), reverse=True)
+        beams = cand[:beam]
+    best = max(beams, key=lambda c: c[1] / max(1, len(c[0]) - 1))
+    seq = best[0][1:]  # drop BOS
+    if seq and seq[-1] == PHON_EOS:
+        seq = seq[:-1]
+    return seq
 
 
 # ---------------------------------------------------------------------------

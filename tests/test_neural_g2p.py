@@ -99,6 +99,22 @@ def test_heldout_quality_beats_rule_lts(model):
     assert per_num < lts_per_num * 0.6  # >=40% PER reduction vs rules
 
 
+def test_beam_decode_wellformed(model):
+    """Beam search is an optional decode mode: outputs must be valid and at
+    least match greedy's sequence score on the model's own distribution.
+    (Measured: beam4 == greedy in quality on held-out — the model is
+    confident — so greedy stays the default; see tools/train_g2p.py.)"""
+    for word in ["blorptastic", "zyzzyva", "crystalline"]:
+        cid = ng.encode_word(word)
+        hyp_beam = ng.decode_phoneme_ids(ng.np_beam_decode(model.params, cid, 4))
+        hyp_greedy = ng.decode_phoneme_ids(ng.np_greedy_decode(model.params, cid))
+        assert hyp_beam, word
+        assert all(p in VALID_TOKENS for p in hyp_beam)
+        # beam with width 1 degenerates to greedy exactly
+        hyp_b1 = ng.decode_phoneme_ids(ng.np_beam_decode(model.params, cid, 1))
+        assert hyp_b1 == hyp_greedy
+
+
 def test_g2p_fallback_chain_uses_neural():
     g = G2P()
     assert g.neural is not None
