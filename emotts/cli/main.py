@@ -15,6 +15,7 @@ Entry points mirror the reference's per-package scripts (SURVEY.md §1 L3b):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from emotts.utils.config import Config, load_config
@@ -42,6 +43,19 @@ def _parse(argv):
         "--resume", default=None, metavar="EXP_PATH",
         help="(train-*) resume full train state from an experiment directory",
     )
+    parser.add_argument(
+        "--text-file", default=None, metavar="PATH",
+        help="(synthesize) long-form mode: split PATH into sentences and "
+        "write one stitched wav for --speaker/--emotion/--level",
+    )
+    parser.add_argument("--speaker", default=None,
+                        help="(synthesize --text-file) speaker name")
+    parser.add_argument("--emotion", default=None,
+                        help="(synthesize --text-file) emotion name")
+    parser.add_argument("--level", type=int, default=0,
+                        help="(synthesize --text-file) intensity level")
+    parser.add_argument("--pace", type=float, default=1.0,
+                        help="(synthesize --text-file) speaking-rate multiplier")
     parser.add_argument("overrides", nargs="*", help="a.b.c=value overrides")
     return parser.parse_args(argv)
 
@@ -86,7 +100,6 @@ def main(argv=None) -> int:
         print(f"[bucketize] prototypes saved to {out}")
 
     elif args.command == "train-fs2":
-        import os
 
         from emotts.train.checkpoint import load_best_params
         from emotts.train.fs2_trainer import FS2Trainer, extractor_params_from_rank
@@ -102,11 +115,16 @@ def main(argv=None) -> int:
             cfg.inference.vocoder_checkpoint
         ):
             from emotts.infer.synthesize import load_vocoder_checkpoint
-            from emotts.nn.hifigan import HiFiGANGenerator
+            from emotts.nn.hifigan import (
+                HiFiGANGenerator,
+                generator_structure_from_params,
+            )
 
-            vocoder = HiFiGANGenerator(in_channels=cfg.audio.n_mels)
             vocoder_params = load_vocoder_checkpoint(
                 cfg.inference.vocoder_checkpoint, cfg
+            )
+            vocoder = HiFiGANGenerator(
+                **generator_structure_from_params(vocoder_params)
             )
         exp = FS2Trainer(
             cfg,
@@ -120,8 +138,38 @@ def main(argv=None) -> int:
         from emotts.infer.synthesize import load_synthesizer
 
         synth = load_synthesizer(cfg)
-        out = synth.intensity_sweep(cfg.inference.text, cfg.inference.output_path)
-        print(f"[synthesize] wrote {len(out)} items to {cfg.inference.output_path}")
+        if args.text_file:
+            from emotts.audio.wavio import write_wav
+
+            if args.speaker is None or args.emotion is None:
+                print("synthesize --text-file requires --speaker and --emotion",
+                      file=sys.stderr)
+                return 2
+            try:
+                spk = cfg.data.speakers.index(args.speaker)
+                emo = cfg.data.emotions.index(args.emotion)
+            except ValueError:
+                print(f"unknown speaker/emotion; speakers={cfg.data.speakers} "
+                      f"emotions={cfg.data.emotions}", file=sys.stderr)
+                return 2
+            text = open(args.text_file).read()
+            wav = synth.synthesize_text(
+                text, spk, emo, level=args.level, pace=args.pace
+            )
+            os.makedirs(cfg.inference.output_path, exist_ok=True)
+            out_wav = os.path.join(
+                cfg.inference.output_path,
+                f"longform_{args.speaker}_{args.emotion}_{args.level}.wav",
+            )
+            write_wav(out_wav, wav, cfg.audio.sampling_rate)
+            dur = len(wav) / cfg.audio.sampling_rate
+            print(f"[synthesize] wrote {out_wav} ({dur:.1f}s)")
+        else:
+            out = synth.intensity_sweep(
+                cfg.inference.text, cfg.inference.output_path
+            )
+            print(f"[synthesize] wrote {len(out)} items to "
+                  f"{cfg.inference.output_path}")
 
     elif args.command == "convert-vocoder":
         from emotts.infer.synthesize import load_vocoder_checkpoint, save_vocoder_params_npz

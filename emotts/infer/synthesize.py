@@ -26,6 +26,7 @@ from emotts.audio.wavio import write_wav
 from emotts.data.datasets import pick_bucket
 from emotts.nn.hifigan import HiFiGANGenerator
 from emotts.text.g2p import G2P
+from emotts.text.segment import split_sentences
 from emotts.train.fs2_trainer import build_fastspeech2
 from emotts.utils.config import Config
 
@@ -42,7 +43,16 @@ class Synthesizer:
         self.cfg = cfg
         self.model = build_fastspeech2(cfg)
         self.fs2_variables = fs2_variables
-        self.vocoder = HiFiGANGenerator(in_channels=cfg.audio.n_mels)
+        if vocoder_params is not None:
+            # Build the generator to match the checkpoint's actual structure
+            # (any V1/V2/V3-family model) instead of hard-coding V1 the way
+            # the reference does (fastspeech2/train.py:225).
+            from emotts.nn.hifigan import generator_structure_from_params
+
+            structure = generator_structure_from_params(vocoder_params)
+            self.vocoder = HiFiGANGenerator(**structure)
+        else:
+            self.vocoder = HiFiGANGenerator(in_channels=cfg.audio.n_mels)
         self.vocoder_params = vocoder_params
         self.intensity_bank = intensity_bank
         self.g2p = g2p or G2P(
@@ -190,6 +200,82 @@ class Synthesizer:
                         os.path.join(out_dir, f"{spk}_{emo}_{lv}_mel.npy"), item
                     )
         return out
+
+    def synthesize_text(
+        self,
+        text: str,
+        speaker_id: int,
+        emotion_id: int,
+        level: int = 0,
+        pace: float = 1.0,
+        pitch_rate: float = 1.0,
+        energy_rate: float = 1.0,
+        gap_s: float = 0.15,
+    ) -> np.ndarray:
+        """Long-form synthesis: split ``text`` into sentences, batch sentences
+        that share a phone bucket through one jitted pass each, vocode, and
+        stitch the waveforms in order with ``gap_s`` of silence between
+        sentences.  Returns a float32 waveform in [-1, 1].
+
+        Goes beyond the reference driver (one fixed sentence,
+        fastspeech2/inference.py:55): arbitrary-length input runs in
+        O(#buckets) device dispatches instead of O(#sentences).
+        """
+        if self._voc_fn is None:
+            raise RuntimeError("synthesize_text requires vocoder params")
+        cfg = self.cfg
+        sentences = split_sentences(text)
+        seqs = [self.text_to_phoneme_ids(s) for s in sentences]
+        seqs = [s for s in seqs if len(s) > 0]
+        if not seqs:
+            raise ValueError("no synthesizable sentences in text")
+
+        groups: Dict[int, list] = {}
+        for i, ids in enumerate(seqs):
+            pb = pick_bucket(len(ids), cfg.bucketing.phone_buckets)
+            if pb < 0:
+                pb = len(ids)
+            groups.setdefault(pb, []).append(i)
+
+        pieces: list = [None] * len(seqs)
+        hop = cfg.audio.hop_length
+        for pb, idxs in sorted(groups.items()):
+            b = len(idxs)
+            phon = np.zeros((b, pb), np.int32)
+            inten = np.zeros((b, pb, cfg.n_emotions), np.float32)
+            for row, i in enumerate(idxs):
+                ids = seqs[i]
+                phon[row, : len(ids)] = ids
+                inten[row, : len(ids)] = self.intensity_for(
+                    speaker_id, emotion_id, level, len(ids)
+                )
+            mel, mel_lens = self._mel_fn(
+                self.fs2_variables,
+                jnp.asarray(phon),
+                jnp.asarray(np.full((b,), speaker_id, np.int32)),
+                jnp.asarray(inten),
+                max_mel_len=cfg.fastspeech2.max_mel_len,
+                pace=pace,
+                pitch_rate=pitch_rate,
+                energy_rate=energy_rate,
+            )
+            pcm = self.vocode(mel)  # int16 (B, T·hop) on device
+            lens = np.asarray(jax.device_get(mel_lens))
+            t_max = int(lens.max()) * hop
+            pcm_np = np.asarray(jax.device_get(pcm[:, :t_max]))
+            for row, i in enumerate(idxs):
+                pieces[i] = (
+                    pcm_np[row, : int(lens[row]) * hop].astype(np.float32)
+                    / 32767.0
+                )
+
+        gap = np.zeros(int(gap_s * cfg.audio.sampling_rate), np.float32)
+        chunks: list = []
+        for i, piece in enumerate(pieces):
+            if i:
+                chunks.append(gap)
+            chunks.append(piece)
+        return np.concatenate(chunks)
 
 
 def load_synthesizer(cfg: Config, fs2_exp: Optional[str] = None,

@@ -329,3 +329,38 @@ def convert_torch_state_dict(
                 block[f"convs2_{d}_bias"] = bias(f"resblocks.{m}.convs2.{d}")
             params[f"resblock_{i}_{j}"] = block
     return {"params": params}
+
+
+def generator_structure_from_params(variables: Dict) -> Dict:
+    """Infer HiFiGANGenerator constructor kwargs from a (converted) params
+    dict, so any V1/V2/V3-family checkpoint loads without hand-set config
+    (the reference hard-codes the V1 16 kHz model, fastspeech2/train.py:225).
+
+    Upsample rates follow the HiFi-GAN convention rate = kernel // 2; conv
+    dilations are not recoverable from weight shapes and default to the
+    paper's (1, 3, 5, 7)[:n] per resblock conv.
+    """
+    p = variables.get("params", variables)
+    in_ch = int(p["conv_pre_kernel"].shape[1])
+    init_ch = int(p["conv_pre_kernel"].shape[2])
+    n_ups = len([k for k in p if k.startswith("up_") and k.endswith("_kernel")])
+    up_kernels = tuple(int(p[f"up_{i}_kernel"].shape[0]) for i in range(n_ups))
+    up_rates = tuple(k // 2 for k in up_kernels)
+    n_kernels = len(
+        {k.split("_")[2] for k in p if k.startswith("resblock_0_")}
+    )
+    kernel_sizes = []
+    dilations = []
+    for j in range(n_kernels):
+        block = p[f"resblock_0_{j}"]
+        kernel_sizes.append(int(block["convs1_0_kernel"].shape[0]))
+        n_d = len([k for k in block if k.startswith("convs1_") and k.endswith("_kernel")])
+        dilations.append(tuple((1, 3, 5, 7)[:n_d]))
+    return dict(
+        in_channels=in_ch,
+        upsample_initial_channel=init_ch,
+        upsample_rates=up_rates,
+        upsample_kernel_sizes=up_kernels,
+        resblock_kernel_sizes=tuple(kernel_sizes),
+        resblock_dilations=tuple(dilations),
+    )

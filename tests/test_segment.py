@@ -1,0 +1,46 @@
+"""Sentence segmentation for long-form synthesis (emotts/text/segment.py)."""
+
+from emotts.text.segment import split_sentences
+
+
+def test_basic_split():
+    assert split_sentences("Hello there. How are you? Fine!") == [
+        "Hello there.", "How are you?", "Fine!",
+    ]
+
+
+def test_abbreviations_do_not_split():
+    out = split_sentences("Mr. Smith met Dr. Jones. They talked.")
+    assert out == ["Mr. Smith met Dr. Jones.", "They talked."]
+
+
+def test_initials_do_not_split():
+    out = split_sentences("J. R. Tolkien wrote it. It was long.")
+    assert out == ["J. R. Tolkien wrote it.", "It was long."]
+
+
+def test_decimals_do_not_split():
+    out = split_sentences("It costs 3.50 dollars. Cheap!")
+    assert out == ["It costs 3.50 dollars.", "Cheap!"]
+
+
+def test_semicolons_and_multiple_punctuation():
+    assert split_sentences("Wait; what?! Really...") == [
+        "Wait;", "what?!", "Really...",
+    ]
+
+
+def test_trailing_text_without_punctuation():
+    assert split_sentences("One sentence. and a tail") == [
+        "One sentence.", "and a tail",
+    ]
+
+
+def test_quotes_after_punctuation():
+    out = split_sentences('"Stop." He ran.')
+    assert out == ['"Stop."', "He ran."]
+
+
+def test_empty_and_whitespace():
+    assert split_sentences("") == []
+    assert split_sentences("   \n ") == []

@@ -112,3 +112,77 @@ def test_prosody_controls(synth):
     mel1, _ = s.synthesize_mels(ids, speakers, intensity, pitch_rate=1.0)
     mel2, _ = s.synthesize_mels(ids, speakers, intensity, pitch_rate=2.0)
     assert not np.allclose(np.asarray(mel1), np.asarray(mel2))
+
+
+def test_generator_structure_inference(synth):
+    """A Synthesizer built from vocoder params alone must infer the
+    generator's structure (non-V1 fixture here) and vocode identically to
+    the hand-constructed module."""
+    cfg, s = synth
+    from emotts.nn.hifigan import generator_structure_from_params
+
+    st = generator_structure_from_params(s.vocoder_params)
+    assert st["upsample_rates"] == (8, 8, 2, 2)
+    assert st["upsample_kernel_sizes"] == (16, 16, 4, 4)
+    assert st["resblock_kernel_sizes"] == (3,)
+    assert st["resblock_dilations"] == ((1, 3),)
+    assert st["upsample_initial_channel"] == 16
+    s2 = Synthesizer(cfg, s.fs2_variables, s.vocoder_params,
+                     s.intensity_bank, g2p=s.g2p)
+    mel = jnp.zeros((1, 8, cfg.audio.n_mels))
+    w1 = np.asarray(jax.device_get(s.vocode(mel)))
+    w2 = np.asarray(jax.device_get(s2.vocode(mel)))
+    np.testing.assert_array_equal(w1, w2)
+
+
+def test_long_text_synthesis(synth):
+    cfg, s = synth
+    text = "The fox ran. It was quick! A long winding sentence follows here?"
+    wav = s.synthesize_text(text, speaker_id=1, emotion_id=2, level=1,
+                            gap_s=0.1)
+    assert wav.ndim == 1 and wav.dtype == np.float32
+    gap = int(0.1 * cfg.audio.sampling_rate)
+    # three sentences, two gaps; every sentence contributes > 0 samples
+    assert len(wav) > 2 * gap
+    # stitched output equals per-sentence synthesis in order: sentence 1
+    # alone must reproduce the head of the stitched waveform
+    ids = s.text_to_phoneme_ids("The fox ran.")
+    inten = s.intensity_for(1, 2, 1, len(ids))[None]
+    mel, lens = s.synthesize_mels(ids, np.array([1], np.int32), inten)
+    pcm = np.asarray(jax.device_get(s.vocode(mel)))
+    head = pcm[0, : int(np.asarray(lens)[0]) * cfg.audio.hop_length]
+    head = head.astype(np.float32) / 32767.0
+    np.testing.assert_allclose(wav[: len(head)], head, atol=1e-6)
+
+
+def test_long_text_requires_vocoder(synth):
+    cfg, s = synth
+    import copy
+    bare = Synthesizer(cfg, s.fs2_variables, None, s.intensity_bank, g2p=s.g2p)
+    with pytest.raises(RuntimeError):
+        bare.synthesize_text("hello there.", 0, 0)
+
+
+def test_long_text_cli(synth, tmp_path, monkeypatch):
+    """CLI long-form path over the tiny fixture models (no real ckpts:
+    patch load_synthesizer)."""
+    cfg, s = synth
+    import emotts.infer.synthesize as syn_mod
+    from emotts.utils.config import save_config
+    from emotts.cli.main import main
+
+    cfg.inference.output_path = str(tmp_path / "out")
+    cfg_path = str(tmp_path / "cfg.yaml")
+    save_config(cfg, cfg_path)
+    text_path = tmp_path / "story.txt"
+    text_path.write_text("A tiny tale. It ends well!")
+    monkeypatch.setattr(syn_mod, "load_synthesizer", lambda c, **kw: s)
+    rc = main(["synthesize", "--config", cfg_path,
+               "--text-file", str(text_path),
+               "--speaker", "b", "--emotion", "angry", "--level", "1"])
+    assert rc == 0
+    wavs = list((tmp_path / "out").glob("longform_b_angry_1.wav"))
+    assert len(wavs) == 1
+    import emotts.audio.wavio as wavio
+    data, sr = wavio.read_wav(str(wavs[0]))
+    assert sr == cfg.audio.sampling_rate and len(data) > 0
