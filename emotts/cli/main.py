@@ -10,6 +10,9 @@ Entry points mirror the reference's per-package scripts (SURVEY.md §1 L3b):
   train-fs2      → fastspeech2/train.py
   synthesize     → fastspeech2/inference.py
   convert-vocoder → (new) torch HiFi-GAN checkpoint → .npz params
+  import-reference → (new) reference-trained torch checkpoints (rank model
+                     best_model.pth / FastSpeech2 best_model.pth /
+                     intensity.npy) → emotts experiment artifacts
 """
 
 from __future__ import annotations
@@ -34,6 +37,7 @@ def _parse(argv):
             "train-fs2",
             "synthesize",
             "convert-vocoder",
+            "import-reference",
         ],
     )
     parser.add_argument("--config", default=None, help="YAML config path")
@@ -42,6 +46,18 @@ def _parse(argv):
     parser.add_argument(
         "--resume", default=None, metavar="EXP_PATH",
         help="(train-*) resume full train state from an experiment directory",
+    )
+    parser.add_argument(
+        "--rank-checkpoint", default=None, metavar="PTH",
+        help="(import-reference) reference rank-model best_model.pth",
+    )
+    parser.add_argument(
+        "--fs2-checkpoint", default=None, metavar="PTH",
+        help="(import-reference) reference FastSpeech2 best_model.pth",
+    )
+    parser.add_argument(
+        "--intensity", default=None, metavar="NPY",
+        help="(import-reference) reference intensity.npy prototype bank",
     )
     parser.add_argument(
         "--text-file", default=None, metavar="PATH",
@@ -180,6 +196,72 @@ def main(argv=None) -> int:
         params = load_vocoder_checkpoint(args.checkpoint, cfg)
         save_vocoder_params_npz(params, args.output)
         print(f"[convert-vocoder] saved {args.output}")
+
+    elif args.command == "import-reference":
+        import shutil
+
+        import numpy as np
+
+        from emotts.train.checkpoint import save_best_export
+
+        if not (args.rank_checkpoint or args.fs2_checkpoint or args.intensity):
+            print("import-reference requires at least one of "
+                  "--rank-checkpoint/--fs2-checkpoint/--intensity",
+                  file=sys.stderr)
+            return 2
+
+        def torch_state_dict(path):
+            import torch
+
+            sd = torch.load(path, map_location="cpu", weights_only=True)
+            if isinstance(sd, dict) and "state_dict" in sd:
+                sd = sd["state_dict"]
+            return {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+
+        rank_exp = os.path.join(
+            cfg.data.experiment_path, "rank_model", cfg.inference.rank_exp
+        )
+        if args.rank_checkpoint:
+            from emotts.nn.convert import rank_params_from_torch
+
+            tree = rank_params_from_torch(
+                torch_state_dict(args.rank_checkpoint),
+                cfg.rank_model.n_encoder_layers,
+                cfg.rank_model.n_heads,
+            )
+            path = save_best_export(rank_exp, tree)
+            print(f"[import-reference] rank params → {path}")
+
+        if args.fs2_checkpoint:
+            from emotts.nn.convert import fs2_params_from_reference_torch
+
+            f = cfg.fastspeech2
+            if f.prenet_style != "embedding" or f.postnet_style != "speechbrain":
+                print(
+                    "import-reference: reference FastSpeech2 checkpoints need "
+                    "the compat architecture — set "
+                    "fastspeech2.prenet_style=embedding and "
+                    "fastspeech2.postnet_style=speechbrain in the config used "
+                    "for import AND for later synthesis/training",
+                    file=sys.stderr,
+                )
+                return 2
+            tree = fs2_params_from_reference_torch(
+                torch_state_dict(args.fs2_checkpoint), f
+            )
+            fs2_exp = os.path.join(
+                cfg.data.experiment_path, "fastspeech2", cfg.inference.fs2_exp
+            )
+            path = save_best_export(fs2_exp, tree)
+            print(f"[import-reference] fastspeech2 params → {path}")
+
+        if args.intensity:
+            bank = np.load(args.intensity)
+            os.makedirs(rank_exp, exist_ok=True)
+            dst = os.path.join(rank_exp, "intensity.npy")
+            if os.path.abspath(args.intensity) != os.path.abspath(dst):
+                shutil.copyfile(args.intensity, dst)
+            print(f"[import-reference] intensity bank {bank.shape} → {dst}")
 
     return 0
 

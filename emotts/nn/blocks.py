@@ -137,6 +137,10 @@ class FFTBlock(nn.Module):
     dropout: float = 0.1
     normalize_before: bool = False
     ffn_internal_dropout: bool = False
+    # LayerNorm epsilon mirrors the counterpart layer being replicated:
+    # SpeechBrain's Transformer passes eps=1e-6; the reference rank model's
+    # hand-rolled layer uses torch's nn.LayerNorm default 1e-5
+    ln_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -146,8 +150,8 @@ class FFTBlock(nn.Module):
         key_valid: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        norm1 = nn.LayerNorm(dtype=jnp.float32, name="norm1")
-        norm2 = nn.LayerNorm(dtype=jnp.float32, name="norm2")
+        norm1 = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32, name="norm2")
         drop = nn.Dropout(rate=self.dropout)
 
         attn_in = norm1(x).astype(self.dtype) if self.normalize_before else x
@@ -193,6 +197,7 @@ class FFTStack(nn.Module):
     normalize_before: bool = False
     ffn_internal_dropout: bool = False
     final_norm: bool = False
+    ln_eps: float = 1e-6
     # rematerialize each block on the backward pass: activations for the
     # stack cost O(1) layers instead of O(N) — the jax.checkpoint lever for
     # scaling batch/sequence beyond HBM (params and streams unchanged)
@@ -217,9 +222,12 @@ class FFTStack(nn.Module):
                 self.dropout,
                 self.normalize_before,
                 self.ffn_internal_dropout,
+                ln_eps=self.ln_eps,
                 dtype=self.dtype,
                 name=f"layer_{i}",
             )(x, key_valid, deterministic)
         if self.final_norm:
-            x = nn.LayerNorm(dtype=jnp.float32, name="final_norm")(x).astype(self.dtype)
+            x = nn.LayerNorm(
+                epsilon=self.ln_eps, dtype=jnp.float32, name="final_norm"
+            )(x).astype(self.dtype)
         return x

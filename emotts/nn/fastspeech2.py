@@ -41,17 +41,24 @@ class EncoderPreNet(nn.Module):
     n_convs: int = 3
     kernel_size: int = 5
     dropout: float = 0.15
+    # "conv": embedding + conv context stack (this framework's default);
+    # "embedding": bare token embedding, the SpeechBrain EncoderPreNet layout
+    # the reference instantiates (fastspeech2/model.py:205-207) — required
+    # for running imported reference checkpoints.
+    style: str = "conv"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         x = nn.Embed(self.n_char, self.d_model, dtype=self.dtype, name="embed")(tokens)
+        if self.style == "embedding":
+            return x
         for i in range(self.n_convs):
             y = nn.Conv(
                 self.d_model, (self.kernel_size,), padding="SAME",
                 dtype=self.dtype, name=f"conv_{i}",
             )(x)
-            y = nn.LayerNorm(dtype=jnp.float32, name=f"norm_{i}")(y).astype(self.dtype)
+            y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"norm_{i}")(y).astype(self.dtype)
             y = nn.relu(y)
             y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
             x = x + y  # residual keeps the embedding signal
@@ -76,12 +83,12 @@ class VariancePredictor(nn.Module):
         y = nn.Conv(self.d_model, (self.kernel_size,), padding="SAME",
                     dtype=self.dtype, name="conv1")(x * m)
         y = nn.relu(y)
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(y).astype(self.dtype)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(y).astype(self.dtype)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         y = nn.Conv(self.d_model, (self.kernel_size,), padding="SAME",
                     dtype=self.dtype, name="conv2")(y * m)
         y = nn.relu(y)
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(y).astype(self.dtype)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(y).astype(self.dtype)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         y = nn.Dense(1, dtype=self.dtype, name="out")(y)  # (B, P, 1)
         return y * m
@@ -117,6 +124,43 @@ class PostNet(nn.Module):
         return x
 
 
+class SpeechBrainPostNet(nn.Module):
+    """The reference's actual PostNet layout (SpeechBrain FastSpeech2 lobe,
+    consumed at fastspeech2/model.py:270-276): conv_pre → LN → tanh →
+    (n−2) intermediate convs → LN → tanh → conv_post → LN, dropout after
+    each norm group.  Kept alongside the tanh+BatchNorm :class:`PostNet`
+    so imported reference checkpoints run with identical math
+    (``fastspeech2.postnet_style: speechbrain``)."""
+
+    n_mels: int = 80
+    embedding_dim: int = 512
+    kernel_size: int = 5
+    n_convs: int = 5
+    dropout: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        k = (self.kernel_size,)
+        x = mel.astype(self.dtype)
+        x = nn.Conv(self.embedding_dim, k, padding="SAME", dtype=self.dtype,
+                    name="conv_pre")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x).astype(self.dtype)
+        x = jnp.tanh(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        for i in range(self.n_convs - 2):
+            x = nn.Conv(self.embedding_dim, k, padding="SAME", dtype=self.dtype,
+                        name=f"conv_mid_{i}")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x).astype(self.dtype)
+        x = jnp.tanh(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Conv(self.n_mels, k, padding="SAME", dtype=self.dtype,
+                    name="conv_post")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln3")(x).astype(self.dtype)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
 class FastSpeech2(nn.Module):
     cfg: FastSpeech2Config
     n_speakers: int = 4
@@ -146,7 +190,7 @@ class FastSpeech2(nn.Module):
         # ---------------- encoder ----------------
         feats = EncoderPreNet(
             c.n_char, c.enc_d_model, c.padding_idx, dropout=0.15,
-            dtype=self.dtype, name="prenet",
+            style=c.prenet_style, dtype=self.dtype, name="prenet",
         )(tokens, deterministic).astype(dtype)
         pos = PositionalEncoding(c.enc_d_model, name="pos_enc")(feats)
         feats = (feats + pos) * tmask
@@ -253,7 +297,10 @@ class FastSpeech2(nn.Module):
         )(spec, key_valid=frame_valid, deterministic=deterministic).astype(dtype)
 
         mel_post = nn.Dense(c.n_mels, name="mel_head")(spec) * fmask
-        residual = PostNet(
+        postnet_cls = (
+            SpeechBrainPostNet if c.postnet_style == "speechbrain" else PostNet
+        )
+        residual = postnet_cls(
             n_mels=c.n_mels,
             embedding_dim=c.postnet_embedding_dim,
             kernel_size=c.postnet_kernel_size,

@@ -74,6 +74,8 @@ class IntensityExtractor(nn.Module):
             normalize_before=False,
             ffn_internal_dropout=True,
             final_norm=False,
+            ln_eps=1e-5,  # reference layer uses torch nn.LayerNorm default
+                          # (rank_model/model.py:28-29)
             remat=self.remat,
             dtype=self.dtype,
             name="fft",

@@ -75,3 +75,20 @@ def load_best_params(exp_path: str, template: Any = None) -> Any:
     if template is not None:
         return ckpt.restore(path, target=template)
     return ckpt.restore(path)
+
+
+def save_best_export(exp_path: str, tree: Any) -> str:
+    """Write a best-params export (the tree ``load_best_params`` restores)
+    into an experiment directory without a CheckpointManager — used by the
+    reference-checkpoint importer to materialize experiments from converted
+    torch weights."""
+    path = (Path(exp_path) / "best").absolute()
+    if path.exists():
+        import shutil
+
+        shutil.rmtree(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path, tree)
+    ckpt.wait_until_finished()
+    return str(path)

@@ -80,7 +80,7 @@ def extractor_params_from_rank(rank_params) -> dict:
 
 def init_fs2_variables(cfg: Config, model: FastSpeech2, seed: int = 0):
     p, t = 8, 16
-    return model.init(
+    v = model.init(
         {"params": jax.random.PRNGKey(seed)},
         jnp.ones((1, p), jnp.int32),
         jnp.zeros((1,), jnp.int32),
@@ -90,6 +90,9 @@ def init_fs2_variables(cfg: Config, model: FastSpeech2, seed: int = 0):
         jnp.zeros((1, p, cfg.fastspeech2.intensity_dim), jnp.float32),
         max_mel_len=t,
     )
+    # batch_stats is always present so checkpoint templates keep one shape
+    # regardless of postnet_style (the speechbrain postnet has no BatchNorm)
+    return {"params": v["params"], "batch_stats": dict(v.get("batch_stats", {}))}
 
 
 class FS2Trainer:

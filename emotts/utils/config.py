@@ -121,6 +121,15 @@ class FastSpeech2Config:
     pitch_pred_kernel_size: int = 3
     energy_pred_kernel_size: int = 3
     variance_predictor_dropout: float = 0.5
+    # architecture-compat switches for importing reference-trained torch
+    # checkpoints (fastspeech2/model.py): the reference's SpeechBrain
+    # EncoderPreNet is a bare token embedding and its PostNet is
+    # LayerNorm-based (conv_pre → intermediates → conv_post with ln1-3);
+    # this framework's defaults add a conv context stack to the prenet and
+    # use a tanh+BatchNorm postnet.  "embedding"/"speechbrain" reproduce the
+    # reference layouts so imported weights run unchanged.
+    prenet_style: str = "conv"  # "conv" | "embedding"
+    postnet_style: str = "batchnorm"  # "batchnorm" | "speechbrain"
     # dim of the frame/phone-level intensity conditioning vector (== n_emotions;
     # the reference hard-codes 5 at fastspeech2/model.py:201 and has a
     # mismatched zeros(1,T,256) at inference — SURVEY.md §3.6-B2.  We derive it.)
