@@ -72,6 +72,9 @@ def _parse(argv):
                         help="(synthesize --text-file) intensity level")
     parser.add_argument("--pace", type=float, default=1.0,
                         help="(synthesize --text-file) speaking-rate multiplier")
+    parser.add_argument("--stream", action="store_true",
+                        help="(synthesize --text-file) streaming mode: vocode "
+                        "in chunks and report time-to-first-audio")
     parser.add_argument("overrides", nargs="*", help="a.b.c=value overrides")
     return parser.parse_args(argv)
 
@@ -169,9 +172,29 @@ def main(argv=None) -> int:
                       f"emotions={cfg.data.emotions}", file=sys.stderr)
                 return 2
             text = open(args.text_file).read()
-            wav = synth.synthesize_text(
-                text, spk, emo, level=args.level, pace=args.pace
-            )
+            if args.stream:
+                import time
+
+                import numpy as np
+
+                from emotts.infer.streaming import stream_text
+
+                t0 = time.perf_counter()
+                ttfa = None
+                chunks = []
+                for chunk in stream_text(
+                    synth, text, spk, emo, level=args.level, pace=args.pace
+                ):
+                    if ttfa is None:
+                        ttfa = time.perf_counter() - t0
+                    chunks.append(chunk)
+                wav = np.concatenate(chunks)
+                print(f"[synthesize] time-to-first-audio {ttfa * 1e3:.0f} ms "
+                      f"({len(chunks)} chunks)")
+            else:
+                wav = synth.synthesize_text(
+                    text, spk, emo, level=args.level, pace=args.pace
+                )
             os.makedirs(cfg.inference.output_path, exist_ok=True)
             out_wav = os.path.join(
                 cfg.inference.output_path,
