@@ -158,9 +158,10 @@ def _device_constants(sr, n_fft, hop, win_length, n_mels, f_min, f_max):
     return dft_real, dft_imag, fb
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "floor"))
 def mel_energy_jax(
-    y: jnp.ndarray, lengths: jnp.ndarray, cfg: AudioConfig
+    y: jnp.ndarray, lengths: jnp.ndarray, cfg: AudioConfig,
+    floor: str = "hard",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched log-mel + energy on device.
 
@@ -168,6 +169,11 @@ def mel_energy_jax(
       y: (B, S) zero-padded audio batch (S static).
       lengths: (B,) valid sample counts.
       cfg: audio config (hashable static arg).
+      floor: "hard" = log(max(mel, clip_val)), the torchaudio-compatible
+        feature contract (zero gradient below the floor); "soft" =
+        log(mel + clip_val), gradient everywhere — used by the vocoder
+        GAN trainer where the mel loss must stay differentiable even when
+        the early generator's output spectrum sits under the clip floor.
 
     Returns:
       mel: (B, n_mels, T) log-mel; frames past each utterance's frame count
@@ -217,7 +223,10 @@ def mel_energy_jax(
     frame_mask = jnp.arange(t)[None, :] < n_frames_valid[:, None]  # (B, T)
 
     mel = jnp.einsum("btk,km->bmt", spec, fb, precision=hi)  # (B, n_mels, T)
-    mel = jnp.log(jnp.maximum(mel, cfg.clip_val))
+    if floor == "soft":
+        mel = jnp.log(mel + cfg.clip_val)
+    else:
+        mel = jnp.log(jnp.maximum(mel, cfg.clip_val))
     mel = jnp.where(
         frame_mask[:, None, :], mel, jnp.float32(np.log(cfg.clip_val))
     )

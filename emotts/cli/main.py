@@ -13,6 +13,9 @@ Entry points mirror the reference's per-package scripts (SURVEY.md §1 L3b):
   import-reference → (new) reference-trained torch checkpoints (rank model
                      best_model.pth / FastSpeech2 best_model.pth /
                      intensity.npy) → emotts experiment artifacts
+  train-vocoder  → (new) HiFi-GAN GAN training on corpus wavs; exports the
+                   vocoder.npz that synthesize consumes (the reference can
+                   only download a pretrained vocoder)
 """
 
 from __future__ import annotations
@@ -38,6 +41,7 @@ def _parse(argv):
             "synthesize",
             "convert-vocoder",
             "import-reference",
+            "train-vocoder",
         ],
     )
     parser.add_argument("--config", default=None, help="YAML config path")
@@ -219,6 +223,15 @@ def main(argv=None) -> int:
         params = load_vocoder_checkpoint(args.checkpoint, cfg)
         save_vocoder_params_npz(params, args.output)
         print(f"[convert-vocoder] saved {args.output}")
+
+    elif args.command == "train-vocoder":
+        from emotts.train.vocoder_trainer import VocoderTrainer
+
+        exp = VocoderTrainer(cfg).fit(
+            exp_path=args.resume, resume=bool(args.resume)
+        )
+        print(f"[train-vocoder] experiment: {exp} "
+              f"(generator exported to {exp}/vocoder.npz)")
 
     elif args.command == "import-reference":
         import shutil

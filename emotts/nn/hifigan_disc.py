@@ -1,0 +1,131 @@
+"""HiFi-GAN discriminators (multi-period + multi-scale) in Flax.
+
+The reference consumes only a *pretrained* HiFi-GAN through SpeechBrain
+(inference-only: fastspeech2/train.py:225, fastspeech2/inference.py:60-63),
+so a user is dependent on downloading `tts-hifigan-libritts-16kHz`.  These
+discriminators + emotts/train/vocoder_trainer.py make the framework
+standalone: the V1 generator (emotts/nn/hifigan.py) can be trained or
+fine-tuned on the project corpus.
+
+Architecture follows HiFi-GAN (Kong et al., 2020):
+* MPD: one sub-discriminator per period p ∈ {2,3,5,7,11}; the waveform is
+  folded to (T/p, p) and processed by a stack of (5,1)-kernel 2-D convs with
+  stride (3,1) — each sees the signal as p interleaved sub-sequences.
+* MSD: three 1-D conv stacks (kernel 15/41/5, grouped convs) at ×1, ×2, ×4
+  average-pooled scales.
+
+TPU notes: all convs lower to MXU matmuls; a ``channels`` multiplier scales
+the stacks down for tests.  LeakyReLU slope 0.1 as in the paper.  Outputs
+are per-position logits plus per-layer feature maps for the feature-matching
+loss.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+LRELU_SLOPE = 0.1
+
+
+class PeriodDiscriminator(nn.Module):
+    period: int
+    channels: Sequence[int] = (32, 128, 512, 1024)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        """y: (B, T) waveform → (per-position logits, feature maps)."""
+        b, t = y.shape
+        pad = (-t) % self.period
+        if pad:
+            y = jnp.pad(y, ((0, 0), (0, pad)), mode="reflect")
+        x = y.reshape(b, -1, self.period, 1).astype(self.dtype)  # NHWC
+        feats = []
+        for ch in self.channels:
+            x = nn.Conv(ch, (5, 1), strides=(3, 1), padding=((2, 2), (0, 0)),
+                        dtype=self.dtype)(x)
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            feats.append(x)
+        x = nn.Conv(self.channels[-1], (5, 1), padding=((2, 2), (0, 0)),
+                    dtype=self.dtype)(x)
+        x = nn.leaky_relu(x, LRELU_SLOPE)
+        feats.append(x)
+        x = nn.Conv(1, (3, 1), padding=((1, 1), (0, 0)), dtype=self.dtype)(x)
+        feats.append(x)
+        return x.reshape(b, -1), feats
+
+
+class ScaleDiscriminator(nn.Module):
+    channels: Sequence[int] = (128, 128, 256, 512, 1024, 1024, 1024)
+    groups: Sequence[int] = (1, 4, 16, 16, 16, 16, 1)
+    kernels: Sequence[int] = (15, 41, 41, 41, 41, 41, 5)
+    strides: Sequence[int] = (1, 2, 2, 4, 4, 1, 1)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        import math
+
+        b = y.shape[0]
+        x = y[..., None].astype(self.dtype)  # (B, T, 1)
+        feats = []
+        for ch, g, k, s in zip(self.channels, self.groups, self.kernels,
+                               self.strides):
+            # group count must divide both channel counts (matters when the
+            # stacks are scaled down for tests)
+            g = math.gcd(g, math.gcd(int(x.shape[-1]), ch))
+            x = nn.Conv(ch, (k,), strides=(s,), padding=((k // 2, k // 2),),
+                        feature_group_count=g, dtype=self.dtype)(x)
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            feats.append(x)
+        x = nn.Conv(1, (3,), padding=((1, 1),), dtype=self.dtype)(x)
+        feats.append(x)
+        return x.reshape(b, -1), feats
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+    channel_mult: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray):
+        """Returns (list of logits, list of feature lists), one per period."""
+        chans = tuple(max(4, int(c * self.channel_mult))
+                      for c in (32, 128, 512, 1024))
+        outs, feats = [], []
+        for p in self.periods:
+            o, f = PeriodDiscriminator(
+                p, channels=chans, dtype=self.dtype, name=f"period_{p}"
+            )(y)
+            outs.append(o)
+            feats.append(f)
+        return outs, feats
+
+
+class MultiScaleDiscriminator(nn.Module):
+    n_scales: int = 3
+    channel_mult: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray):
+        chans = tuple(max(4, int(c * self.channel_mult))
+                      for c in (128, 128, 256, 512, 1024, 1024, 1024))
+        outs, feats = [], []
+        x = y
+        for i in range(self.n_scales):
+            if i:
+                x = nn.avg_pool(
+                    x[..., None], window_shape=(4,), strides=(2,),
+                    padding=((1, 1),),
+                )[..., 0]
+            o, f = ScaleDiscriminator(
+                channels=chans, dtype=self.dtype, name=f"scale_{i}"
+            )(x)
+            outs.append(o)
+            feats.append(f)
+        return outs, feats

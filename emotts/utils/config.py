@@ -178,6 +178,47 @@ class TrainConfig:
 
 
 @dataclass
+class VocoderTrainConfig:
+    """HiFi-GAN GAN-training settings (no reference counterpart — the
+    reference downloads a pretrained vocoder; training one in-framework makes
+    the stack standalone).  Hyperparameters follow Kong et al. 2020."""
+
+    n_steps: int = 500_000
+    batch_size: int = 16
+    segment_frames: int = 32  # mel frames per training segment (×hop samples)
+    learning_rate: float = 2e-4
+    lr_decay: float = 0.999  # exponential decay factor per decay_every steps
+    lr_decay_every: int = 1000
+    adam_b1: float = 0.8
+    adam_b2: float = 0.99
+    mel_loss_weight: float = 45.0
+    feature_loss_weight: float = 2.0
+    # 0.0 disables the adversarial + feature-matching terms (mel-only
+    # pretraining; also the deterministic mode used by convergence tests)
+    adversarial_weight: float = 1.0
+    seed: int = 42
+    compute_dtype: str = "bfloat16"
+    rng_impl: str = "rbg"
+    checkpoint_every_steps: int = 2000
+    keep_checkpoints: int = 3
+    log_every_steps: int = 100
+    # generator structure (defaults = HiFi-GAN V1 @ 16 kHz, ×256 upsampling)
+    upsample_initial_channel: int = 512
+    upsample_rates: List[int] = field(default_factory=lambda: [8, 8, 2, 2])
+    upsample_kernel_sizes: List[int] = field(
+        default_factory=lambda: [16, 16, 4, 4]
+    )
+    resblock_kernel_sizes: List[int] = field(default_factory=lambda: [3, 7, 11])
+    resblock_dilations: List[List[int]] = field(
+        default_factory=lambda: [[1, 3, 5], [1, 3, 5], [1, 3, 5]]
+    )
+    # discriminator scale (1.0 = paper channels; tests shrink it)
+    disc_channel_mult: float = 1.0
+    mpd_periods: List[int] = field(default_factory=lambda: [2, 3, 5, 7, 11])
+    msd_scales: int = 3
+
+
+@dataclass
 class MeshConfig:
     """Device-mesh layout.  Data parallelism over ICI is the only parallelism
     worth being first-class at this model scale (SURVEY.md §2.3)."""
@@ -216,6 +257,9 @@ class Config:
         default_factory=lambda: TrainConfig(
             n_epochs=1000, max_iterations=250_000, learning_rate=1e-4
         )
+    )
+    train_vocoder: VocoderTrainConfig = field(
+        default_factory=VocoderTrainConfig
     )
     mesh: MeshConfig = field(default_factory=MeshConfig)
     inference: InferenceConfig = field(default_factory=InferenceConfig)

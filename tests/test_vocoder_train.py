@@ -1,0 +1,186 @@
+"""Vocoder GAN-training tests (emotts/train/vocoder_trainer.py,
+emotts/nn/hifigan_disc.py, emotts/losses/gan.py): discriminator contracts,
+one adversarial step end to end, deterministic mel-only convergence, and the
+export → synthesis round trip."""
+
+import os
+from glob import glob
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from emotts.nn.hifigan_disc import (
+    MultiPeriodDiscriminator,
+    MultiScaleDiscriminator,
+)
+from emotts.train.vocoder_trainer import SegmentSampler, VocoderTrainer
+from emotts.utils.config import Config
+
+
+def tiny_cfg(tmp_path, adversarial: float) -> Config:
+    cfg = Config()
+    cfg.data.corpus_path = str(tmp_path / "corpus")
+    cfg.data.experiment_path = str(tmp_path / "experiments")
+    cfg.mesh.data_parallel = 1
+    vc = cfg.train_vocoder
+    vc.batch_size = 2
+    vc.segment_frames = 8
+    vc.upsample_initial_channel = 16
+    vc.resblock_kernel_sizes = [3]
+    vc.resblock_dilations = [[1, 3]]
+    vc.disc_channel_mult = 0.05
+    vc.mpd_periods = [2, 3]
+    vc.msd_scales = 2
+    vc.adversarial_weight = adversarial
+    vc.compute_dtype = "float32"
+    vc.learning_rate = 1e-3
+    vc.checkpoint_every_steps = 5
+    vc.log_every_steps = 5
+    return cfg
+
+
+def write_corpus(cfg: Config, n: int = 3, seconds: float = 0.6) -> None:
+    from emotts.audio.wavio import write_wav
+
+    sr = cfg.audio.sampling_rate
+    rng = np.random.default_rng(0)
+    os.makedirs(os.path.join(cfg.data.corpus_path, "spk"), exist_ok=True)
+    t = np.arange(int(seconds * sr)) / sr
+    for i in range(n):
+        f0 = 150.0 + 60 * i
+        y = 0.4 * np.sin(2 * np.pi * f0 * t) + 0.02 * rng.standard_normal(len(t))
+        write_wav(
+            os.path.join(cfg.data.corpus_path, "spk", f"amused_{i:04d}.wav"),
+            y.astype(np.float32), sr,
+        )
+
+
+def test_discriminator_contracts():
+    y = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 2048)).astype(np.float32)
+    )
+    mpd = MultiPeriodDiscriminator(periods=(2, 3, 5), channel_mult=0.1)
+    params = mpd.init(jax.random.PRNGKey(0), y)
+    outs, feats = mpd.apply(params, y)
+    assert len(outs) == 3 and len(feats) == 3
+    for o, f in zip(outs, feats):
+        assert o.shape[0] == 2 and o.ndim == 2
+        assert len(f) == 6  # 4 strided + 1 wide + 1 post conv
+    msd = MultiScaleDiscriminator(n_scales=3, channel_mult=0.05)
+    params = msd.init(jax.random.PRNGKey(0), y)
+    outs, feats = msd.apply(params, y)
+    assert len(outs) == 3
+    # each scale halves the resolution
+    assert outs[0].shape[1] > outs[1].shape[1] > outs[2].shape[1]
+    for f in feats:
+        assert len(f) == 8  # 7 conv layers + post conv
+
+
+def test_period_discriminator_pads_non_divisible():
+    from emotts.nn.hifigan_disc import PeriodDiscriminator
+
+    y = jnp.asarray(np.random.default_rng(1).standard_normal((1, 1000), ),
+                    dtype=jnp.float32)
+    d = PeriodDiscriminator(period=3, channels=(4, 8, 8, 8))
+    params = d.init(jax.random.PRNGKey(0), y)
+    o, _ = d.apply(params, y)  # 1000 % 3 != 0 → reflect pad inside
+    assert np.isfinite(np.asarray(o)).all()
+
+
+def test_adversarial_step_updates_both(tmp_path):
+    cfg = tiny_cfg(tmp_path, adversarial=1.0)
+    write_corpus(cfg)
+    tr = VocoderTrainer(cfg)
+    g0 = jax.device_get(tr.gen_state.params)
+    d0 = jax.device_get(tr.disc_state.params)
+    exp = tr.fit(n_steps=2)
+    g1 = jax.device_get(tr.gen_state.params)
+    d1 = jax.device_get(tr.disc_state.params)
+    assert int(jax.device_get(tr.gen_state.step)) == 2
+    assert int(jax.device_get(tr.disc_state.step)) == 2
+
+    def changed(a, b):
+        return any(
+            not np.allclose(x, y)
+            for x, y in zip(jax.tree_util.tree_leaves(a),
+                            jax.tree_util.tree_leaves(b))
+        )
+
+    assert changed(g0, g1) and changed(d0, d1)
+    assert os.path.exists(os.path.join(exp, "vocoder.npz"))
+    assert os.path.exists(os.path.join(exp, "metrics.jsonl"))
+
+
+def test_mel_only_convergence_and_export(tmp_path):
+    """adversarial_weight=0 → deterministic mel-only objective; the loss must
+    decrease over a short run, and the exported .npz must drive the synthesis
+    vocoder path."""
+    cfg = tiny_cfg(tmp_path, adversarial=0.0)
+    write_corpus(cfg)
+    tr = VocoderTrainer(cfg)
+
+    from emotts.parallel.mesh import shard_batch
+
+    sampler = SegmentSampler(
+        sorted(glob(os.path.join(cfg.data.corpus_path, "*", "*.wav"))),
+        cfg.audio.sampling_rate, tr.segment_samples, seed=0,
+    )
+    fixed = sampler.batch(2)  # overfit one batch: deterministic descent
+    losses = []
+    for _ in range(40):
+        batch = shard_batch(tr.mesh, {"y": fixed})
+        tr.gen_state, tr.disc_state, metrics = tr._train_step(
+            tr.gen_state, tr.disc_state, batch
+        )
+        losses.append(float(jax.device_get(metrics["mel_l1"])))
+    assert np.mean(losses[-5:]) < 0.95 * np.mean(losses[:5]), losses
+    # disc untouched in mel-only mode
+    assert int(jax.device_get(tr.disc_state.step)) == 0
+
+    exp = tmp_path / "exp"
+    exp.mkdir()
+    npz = tr.export(str(exp))
+    from emotts.infer.synthesize import load_vocoder_checkpoint
+    from emotts.nn.hifigan import generator_structure_from_params
+
+    loaded = load_vocoder_checkpoint(npz, cfg)
+    gen2 = type(tr.gen)(**generator_structure_from_params(loaded))
+    mel = jnp.zeros((1, 8, cfg.audio.n_mels))
+    wav = gen2.apply(loaded, mel)
+    assert wav.shape == (1, 8 * 256)
+    assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_checkpoint_resume(tmp_path):
+    cfg = tiny_cfg(tmp_path, adversarial=1.0)
+    write_corpus(cfg)
+    tr = VocoderTrainer(cfg)
+    exp = tr.fit(n_steps=5)  # checkpoint_every_steps=5 → ckpt at step 5
+    g5 = jax.device_get(tr.gen_state.params)
+
+    tr2 = VocoderTrainer(cfg)
+    assert tr2.restore(exp)
+    assert int(jax.device_get(tr2.gen_state.step)) == 5
+    g5r = jax.device_get(tr2.gen_state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(g5),
+                    jax.tree_util.tree_leaves(g5r)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_train_vocoder_cli(tmp_path):
+    from emotts.cli.main import main
+    from emotts.utils.config import save_config
+
+    cfg = tiny_cfg(tmp_path, adversarial=1.0)
+    cfg.train_vocoder.n_steps = 2
+    write_corpus(cfg)
+    cfg_path = str(tmp_path / "cfg.yaml")
+    save_config(cfg, cfg_path)
+    rc = main(["train-vocoder", "--config", cfg_path])
+    assert rc == 0
+    exps = glob(os.path.join(cfg.data.experiment_path, "vocoder", "exp_*"))
+    assert len(exps) == 1
+    assert os.path.exists(os.path.join(exps[0], "vocoder.npz"))
