@@ -140,6 +140,47 @@ def bench_fs2(cfg, mesh, batch_size) -> dict:
     }
 
 
+def bench_vocoder(cfg, mesh, batch_size) -> dict:
+    """Full-size HiFi-GAN GAN step (V1 generator + paper-size MPD/MSD):
+    D update + G update, one jitted program."""
+    import jax
+
+    from emotts.parallel.mesh import shard_batch
+    from emotts.train.vocoder_trainer import VocoderTrainer
+
+    vc = cfg.train_vocoder
+    vc.batch_size = batch_size
+    trainer = VocoderTrainer(cfg, mesh=mesh)
+    rng = np.random.default_rng(0)
+    b, s = batch_size, trainer.segment_samples
+    batch = {"y": rng.standard_normal((b, s)).astype(np.float32) * 0.1}
+    sharded = shard_batch(mesh, batch)
+
+    gs, ds, m = trainer._train_step(trainer.gen_state, trainer.disc_state,
+                                    dict(sharded))
+    jax.device_get(m)  # compile + sync
+    gs, ds, m = trainer._train_step(gs, ds, dict(sharded))
+    jax.device_get(m)
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        gs, ds, m = trainer._train_step(gs, ds, dict(sharded))
+    jax.device_get(m)
+    dt = (time.perf_counter() - t0) / n
+    flops = _flops_per_step(trainer._train_step_fn, gs, ds, dict(sharded))
+    sr = cfg.audio.sampling_rate
+    return {
+        "metric": "vocoder_train_step",
+        "value": b * s / sr / dt,
+        "unit": "audio-sec/sec/chip",
+        "steps_per_sec": 1.0 / dt,
+        "step_ms": dt * 1000.0,
+        "batch": b,
+        "segment_samples": s,
+        "mfu": (flops / dt) / (_PEAK_TFLOPS * 1e12) if flops else None,
+    }
+
+
 def main() -> None:
     import jax
 
@@ -151,6 +192,7 @@ def main() -> None:
         print(json.dumps(bench_rank(Config(), mesh, batch)))
     for batch in (8, 64):
         print(json.dumps(bench_fs2(Config(), mesh, batch)))
+    print(json.dumps(bench_vocoder(Config(), mesh, 16)))
 
 
 if __name__ == "__main__":

@@ -225,6 +225,7 @@ class VocoderTrainer:
             metrics.update(parts)
             return gen_state, disc_state, metrics
 
+        self._train_step_fn = train_step  # un-jitted (benchmarks: FLOP count)
         self._train_step = jax.jit(
             train_step,
             donate_argnums=(0, 1),

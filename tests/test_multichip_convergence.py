@@ -102,3 +102,45 @@ def test_fs2_trainer_converges_on_mesh():
     assert int(jax.device_get(trainer.state.step)) == 12
     # single compile across all steps (recompile regression guard)
     assert trainer._train_step._cache_size() == 1
+
+
+def test_vocoder_gan_converges_on_mesh(tmp_path):
+    """Vocoder GAN training on the (4 data × 2 model) mesh: both optimizer
+    chains thread across steps, the mel-only objective descends on a fixed
+    batch, and adversarial metrics stay finite."""
+    from emotts.train.vocoder_trainer import VocoderTrainer
+
+    cfg = _tiny_cfg()
+    vc = cfg.train_vocoder
+    vc.batch_size = 8
+    vc.segment_frames = 8
+    vc.upsample_initial_channel = 16
+    vc.resblock_kernel_sizes = [3]
+    vc.resblock_dilations = [[1, 3]]
+    vc.disc_channel_mult = 0.05
+    vc.mpd_periods = [2, 3]
+    vc.msd_scales = 2
+    vc.compute_dtype = "float32"
+    vc.learning_rate = 1e-3
+    mesh = make_mesh(cfg.mesh)
+    assert mesh.shape == {"data": 4, "model": 2}
+    tr = VocoderTrainer(cfg, mesh=mesh)
+
+    rng = np.random.default_rng(0)
+    t = np.arange(tr.segment_samples) / cfg.audio.sampling_rate
+    y = 0.4 * np.sin(2 * np.pi * (150 + 40 * rng.random((8, 1))) * t)
+    y = (y + 0.02 * rng.standard_normal(y.shape)).astype(np.float32)
+
+    mel_losses, d_losses = [], []
+    for _ in range(12):
+        batch = shard_batch(mesh, {"y": y})
+        tr.gen_state, tr.disc_state, metrics = tr._train_step(
+            tr.gen_state, tr.disc_state, batch
+        )
+        m = jax.device_get(metrics)
+        mel_losses.append(float(m["mel_l1"]))
+        d_losses.append(float(m["d_loss"]))
+    assert int(jax.device_get(tr.gen_state.step)) == 12
+    assert int(jax.device_get(tr.disc_state.step)) == 12
+    assert np.isfinite(mel_losses).all() and np.isfinite(d_losses).all()
+    assert np.mean(mel_losses[-3:]) < np.mean(mel_losses[:3]), mel_losses
