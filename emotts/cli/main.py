@@ -16,6 +16,10 @@ Entry points mirror the reference's per-package scripts (SURVEY.md §1 L3b):
   train-vocoder  → (new) HiFi-GAN GAN training on corpus wavs; exports the
                    vocoder.npz that synthesize consumes (the reference can
                    only download a pretrained vocoder)
+  evaluate       → (new) objective metrics on the held-out split:
+                   teacher-forced MCD, free-running DTW-MCD, duration
+                   accuracy, per (speaker, emotion) → eval.json (the
+                   reference evaluates only visually)
 """
 
 from __future__ import annotations
@@ -42,6 +46,7 @@ def _parse(argv):
             "convert-vocoder",
             "import-reference",
             "train-vocoder",
+            "evaluate",
         ],
     )
     parser.add_argument("--config", default=None, help="YAML config path")
@@ -223,6 +228,16 @@ def main(argv=None) -> int:
         params = load_vocoder_checkpoint(args.checkpoint, cfg)
         save_vocoder_params_npz(params, args.output)
         print(f"[convert-vocoder] saved {args.output}")
+
+    elif args.command == "evaluate":
+        from emotts.eval.evaluate import Evaluator
+
+        report = Evaluator(cfg).run()
+        overall = report["overall"]
+        print(f"[evaluate] {report['n_utterances']} utterances")
+        for k, v in overall.items():
+            print(f"[evaluate]   {k}: {v:.4f}")
+        print(f"[evaluate] report: {report['path']}")
 
     elif args.command == "train-vocoder":
         from emotts.train.vocoder_trainer import VocoderTrainer

@@ -1,0 +1,195 @@
+"""Objective evaluation of a trained FastSpeech2 experiment on the held-out
+split: teacher-forced MCD, free-running (predicted-duration) DTW-MCD,
+duration accuracy, and optional F0 accuracy through the vocoder.
+
+No reference counterpart — the reference's only evaluation is visual
+(SURVEY.md §4).  Everything device-side is batched and bucket-static like
+the trainers; metrics are computed host-side per utterance and aggregated
+per (speaker, emotion) into eval.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emotts.data.datasets import FS2Dataset, collate_fs2
+from emotts.data.loader import BucketLoader
+from emotts.eval.metrics import duration_metrics, f0_metrics, mcd, mcd_dtw, mel_cepstra
+from emotts.nn.length_regulator import segment_mean
+from emotts.train.checkpoint import load_best_params
+from emotts.train.fs2_trainer import (
+    build_fastspeech2,
+    build_intensity_extractor,
+    extractor_params_from_rank,
+    init_fs2_variables,
+)
+from emotts.train.rank_trainer import build_rank_model, init_rank_params
+from emotts.utils.config import Config
+
+
+class Evaluator:
+    def __init__(self, cfg: Config, fs2_exp: Optional[str] = None,
+                 rank_exp: Optional[str] = None):
+        self.cfg = cfg
+        fs2_exp = fs2_exp or os.path.join(
+            cfg.data.experiment_path, "fastspeech2", cfg.inference.fs2_exp
+        )
+        rank_exp = rank_exp or os.path.join(
+            cfg.data.experiment_path, "rank_model", cfg.inference.rank_exp
+        )
+        self.fs2_exp = fs2_exp
+        self.model = build_fastspeech2(cfg, dtype=jnp.float32)
+        template = init_fs2_variables(cfg, self.model, 0)
+        self.variables = load_best_params(
+            fs2_exp,
+            {"params": template["params"], "batch_stats": template["batch_stats"]},
+        )
+        self.extractor = build_intensity_extractor(cfg, dtype=jnp.float32)
+        rank_template = init_rank_params(cfg, build_rank_model(cfg, jnp.float32), 0)
+        rank_params = load_best_params(rank_exp, rank_template)
+        self.extractor_params = extractor_params_from_rank(rank_params)
+
+        def forward(batch, teacher_forced: bool):
+            frames = self.extractor.apply(
+                self.extractor_params, batch["rank_x"], batch["mel_len"],
+                batch["emotions"],
+            )
+            rep = segment_mean(frames, batch["durations"])
+            kwargs = dict(
+                intensity=rep, max_mel_len=batch["mel"].shape[1]
+            )
+            if teacher_forced:
+                preds = self.model.apply(
+                    self.variables, batch["phonemes"], batch["speakers"],
+                    batch["durations"], batch["pitch"], batch["energy"],
+                    **kwargs,
+                )
+            else:
+                preds = self.model.apply(
+                    self.variables, batch["phonemes"], batch["speakers"],
+                    **kwargs,
+                )
+            # (postnet mel, log-durations, mel lens)
+            return preds[1], preds[2], preds[7]
+
+        self._tf = jax.jit(lambda b: forward(b, True))
+        self._free = jax.jit(lambda b: forward(b, False))
+
+    @staticmethod
+    def _arrays_only(batch: Dict) -> Dict:
+        """collate_fs2 carries texts/wav paths (host metadata); jit takes
+        only the array entries."""
+        return {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+
+    # ------------------------------------------------------------------
+
+    def run(self, split: str = "valid", max_batches: Optional[int] = None,
+            out_path: Optional[str] = None) -> Dict:
+        cfg = self.cfg
+        loader = BucketLoader(
+            FS2Dataset(cfg, split),
+            buckets=cfg.bucketing.frame_buckets,
+            batch_size=cfg.train_fs2.batch_size,
+            collate=lambda ex, fb: collate_fs2(
+                ex, pick_phone_bucket(ex, cfg), fb
+            ),
+            shuffle=False,
+            seed=0,
+            drop_last=False,
+        )
+        per_utt = []
+        for bi, batch in enumerate(loader.epoch(0)):
+            if max_batches is not None and bi >= max_batches:
+                break
+            arrays = self._arrays_only(batch)
+            tf_mel, tf_logdur, _ = jax.device_get(self._tf(arrays))
+            fr_mel, _, fr_lens = jax.device_get(self._free(arrays))
+            b = batch["mel"].shape[0]
+            for i in range(b):
+                t = int(batch["mel_len"][i])
+                p = int(batch["phon_len"][i])
+                if t == 0 or p == 0:
+                    continue
+                ref = np.asarray(batch["mel"][i, :t])
+                valid = np.zeros(batch["durations"].shape[1], np.float32)
+                valid[:p] = 1.0
+                mae, rel = duration_metrics(
+                    np.asarray(batch["durations"][i], np.float32),
+                    np.asarray(tf_logdur[i], np.float32),
+                    valid,
+                )
+                n_free = int(fr_lens[i])
+                row = {
+                    "speaker": cfg.data.speakers[int(batch["speakers"][i])],
+                    "emotion": cfg.data.emotions[int(batch["emotions"][i])],
+                    "mcd_teacher_forced": mcd(
+                        mel_cepstra(ref), mel_cepstra(np.asarray(tf_mel[i, :t]))
+                    ),
+                    "duration_mae_frames": mae,
+                    "duration_total_rel_err": rel,
+                }
+                if n_free > 0:
+                    row["mcd_dtw_free_running"] = mcd_dtw(
+                        ref, np.asarray(fr_mel[i, :n_free])
+                    )
+                per_utt.append(row)
+
+        report = aggregate(per_utt)
+        if out_path is None:
+            out_path = os.path.join(self.fs2_exp, "eval.json")
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=2)
+        report["path"] = out_path
+        return report
+
+
+def pick_phone_bucket(examples, cfg: Config) -> int:
+    from emotts.data.datasets import pick_bucket
+
+    need = max(len(e.phonemes) for e in examples)
+    pb = pick_bucket(need, cfg.bucketing.phone_buckets)
+    return pb if pb > 0 else need
+
+
+def aggregate(per_utt) -> Dict:
+    """Mean of every numeric metric overall and per (speaker, emotion)."""
+    def means(rows):
+        keys = sorted({k for r in rows for k in r if isinstance(r[k], float)})
+        return {
+            k: float(np.mean([r[k] for r in rows if k in r])) for k in keys
+        }
+
+    groups = defaultdict(list)
+    for r in per_utt:
+        groups[f"{r['speaker']}/{r['emotion']}"].append(r)
+    return {
+        "n_utterances": len(per_utt),
+        "overall": means(per_utt) if per_utt else {},
+        "by_speaker_emotion": {k: means(v) for k, v in sorted(groups.items())},
+    }
+
+
+def evaluate_f0_through_vocoder(
+    cfg: Config, ref_wav: np.ndarray, syn_wav: np.ndarray
+) -> Dict:
+    """Optional F0 comparison between a reference and a synthesized waveform
+    using the framework's own DIO+StoneMask chain (emotts/audio/f0.py)."""
+    from emotts.audio.f0 import dio, stonemask
+
+    def track(y):
+        f0, times = dio(
+            y.astype(np.float64), cfg.audio.sampling_rate,
+            frame_period=cfg.audio.hop_length / cfg.audio.sampling_rate * 1000.0,
+        )
+        return stonemask(y.astype(np.float64), f0, times,
+                         cfg.audio.sampling_rate)
+
+    rmse, vuv = f0_metrics(track(ref_wav), track(syn_wav))
+    return {"f0_rmse_hz": rmse, "vuv_error_rate": vuv}
