@@ -95,6 +95,99 @@ class SegmentSampler:
         return out
 
 
+class PairedSegmentSampler:
+    """Random crops over aligned (conditioning mel, waveform) pairs — the
+    fine-tuning path where the conditioning mel is a FastSpeech2 prediction
+    rather than the analysis mel of the audio."""
+
+    def __init__(self, pairs, segment_frames: int, hop: int, mel_floor: float,
+                 seed: int = 0):
+        if not pairs:
+            raise ValueError("no (mel, wav) pairs to train on")
+        self.f = segment_frames
+        self.hop = hop
+        self.pairs = []
+        for mel, wav in pairs:
+            n = min(mel.shape[0], len(wav) // hop)
+            mel, wav = mel[:n], wav[: n * hop]
+            if n < segment_frames:  # pad short utterances to one segment
+                pad_m = np.full((segment_frames, mel.shape[1]), mel_floor,
+                                np.float32)
+                pad_m[:n] = mel
+                pad_w = np.zeros(segment_frames * hop, np.float32)
+                pad_w[: n * hop] = wav
+                mel, wav = pad_m, pad_w
+            self.pairs.append((mel.astype(np.float32), wav.astype(np.float32)))
+        self.rng = np.random.default_rng(seed)
+
+    def batch(self, b: int):
+        m_dim = self.pairs[0][0].shape[1]
+        y = np.empty((b, self.f * self.hop), np.float32)
+        mel = np.empty((b, self.f, m_dim), np.float32)
+        idx = self.rng.integers(0, len(self.pairs), b)
+        for row, i in enumerate(idx):
+            m, w = self.pairs[i]
+            f0 = self.rng.integers(0, m.shape[0] - self.f + 1)
+            mel[row] = m[f0 : f0 + self.f]
+            y[row] = w[f0 * self.hop : (f0 + self.f) * self.hop]
+        return {"y": y, "mel_cond": mel}
+
+
+def predicted_mel_pairs(
+    cfg: Config,
+    fs2_exp: Optional[str] = None,
+    rank_exp: Optional[str] = None,
+    split: Optional[str] = None,
+    max_utts: Optional[int] = None,
+):
+    """Teacher-forced FastSpeech2 mels aligned with the ground-truth audio:
+    the fine-tuning dataset from the HiFi-GAN paper (predicted mel in,
+    real waveform out)."""
+    from pathlib import Path
+
+    from emotts.audio.textgrid import process_textgrid
+    from emotts.audio.wavio import load_wav, trim_audio
+    from emotts.data.datasets import FS2Dataset, collate_fs2
+    from emotts.data.loader import BucketLoader
+    from emotts.eval.evaluate import Evaluator, pick_phone_bucket
+
+    split = split or cfg.train_vocoder.fs2_split
+    ev = Evaluator(cfg, fs2_exp, rank_exp)
+    loader = BucketLoader(
+        FS2Dataset(cfg, split),
+        buckets=cfg.bucketing.frame_buckets,
+        batch_size=cfg.train_fs2.batch_size,
+        collate=lambda ex, fb: collate_fs2(ex, pick_phone_bucket(ex, cfg), fb),
+        shuffle=False,
+        seed=0,
+        drop_last=False,
+    )
+    sr, hop = cfg.audio.sampling_rate, cfg.audio.hop_length
+    pairs = []
+    for batch in loader.epoch(0):
+        mel, _, _ = jax.device_get(ev._tf(ev._arrays_only(batch)))
+        for i in range(mel.shape[0]):
+            t = int(batch["mel_len"][i])
+            if t == 0:
+                continue
+            wav_path = Path(str(batch["wavs"][i]))
+            tg = (Path(cfg.data.textgrid_path) / wav_path.parent.name
+                  / f"{wav_path.stem}.TextGrid")
+            if not tg.exists():
+                continue
+            _, _, t0, t1 = process_textgrid(
+                str(tg), sr, hop, cfg.data.sil_phones
+            )
+            y = trim_audio(load_wav(str(wav_path), sr), t0, t1, sr)
+            n = min(t, len(y) // hop)
+            if n <= 0:
+                continue
+            pairs.append((np.asarray(mel[i, :n]), y[: n * hop]))
+            if max_utts is not None and len(pairs) >= max_utts:
+                return pairs
+    return pairs
+
+
 class VocoderTrainer:
     def __init__(self, cfg: Config, mesh=None):
         self.cfg = cfg
@@ -104,6 +197,7 @@ class VocoderTrainer:
         hop = cfg.audio.hop_length
         self.segment_samples = vc.segment_frames * hop
         self.adversarial = vc.adversarial_weight > 0.0
+        self.condition = vc.condition  # "gt" | "fs2" (static graph switch)
 
         self.gen = build_vocoder_generator(cfg)
         self.mpd = MultiPeriodDiscriminator(
@@ -163,8 +257,12 @@ class VocoderTrainer:
             gen_state: TrainState, disc_state: TrainState, batch
         ) -> Tuple[TrainState, TrainState, Dict]:
             y = batch["y"]  # (B, S) float32
-            mel = device_mel(y)  # (B, M, T)
-            mel_in = mel.transpose(0, 2, 1)  # (B, T, M)
+            if self.condition == "fs2":
+                # fine-tuning: condition on the FS2-predicted mel; the
+                # reconstruction target below stays the real audio's mel
+                mel_in = batch["mel_cond"]  # (B, T, M)
+            else:
+                mel_in = device_mel(y).transpose(0, 2, 1)  # (B, T, M)
 
             metrics: Dict = {}
             if self.adversarial:
@@ -282,16 +380,25 @@ class VocoderTrainer:
     ) -> str:
         cfg, vc = self.cfg, self.cfg.train_vocoder
         set_seed(vc.seed)
-        if wav_paths is None:
-            wav_paths = sorted(
-                glob(os.path.join(cfg.data.corpus_path, "*", "*.wav"))
+        if self.condition == "fs2":
+            pairs = predicted_mel_pairs(cfg)
+            # multi-host: disjoint utterance shards per process
+            pairs = pairs[jax.process_index() :: jax.process_count()]
+            sampler = PairedSegmentSampler(
+                pairs, vc.segment_frames, cfg.audio.hop_length,
+                mel_floor=float(np.log(cfg.audio.clip_val)),
+                seed=vc.seed + jax.process_index(),
             )
-        # multi-host: disjoint utterance shards per process
-        wav_paths = wav_paths[jax.process_index() :: jax.process_count()]
-        sampler = SegmentSampler(
-            wav_paths, cfg.audio.sampling_rate, self.segment_samples,
-            seed=vc.seed + jax.process_index(),
-        )
+        else:
+            if wav_paths is None:
+                wav_paths = sorted(
+                    glob(os.path.join(cfg.data.corpus_path, "*", "*.wav"))
+                )
+            wav_paths = wav_paths[jax.process_index() :: jax.process_count()]
+            sampler = SegmentSampler(
+                wav_paths, cfg.audio.sampling_rate, self.segment_samples,
+                seed=vc.seed + jax.process_index(),
+            )
         if exp_path is None:
             exp_path = increment_path(
                 os.path.join(cfg.data.experiment_path, "vocoder")
@@ -306,7 +413,10 @@ class VocoderTrainer:
         total = n_steps if n_steps is not None else vc.n_steps
         start = int(jax.device_get(self.gen_state.step))
         for step in range(start, total):
-            batch = shard_batch(self.mesh, {"y": sampler.batch(vc.batch_size)})
+            raw = sampler.batch(vc.batch_size)
+            if not isinstance(raw, dict):
+                raw = {"y": raw}
+            batch = shard_batch(self.mesh, raw)
             self.gen_state, self.disc_state, metrics = self._train_step(
                 self.gen_state, self.disc_state, batch
             )

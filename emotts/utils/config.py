@@ -216,6 +216,13 @@ class VocoderTrainConfig:
     disc_channel_mult: float = 1.0
     mpd_periods: List[int] = field(default_factory=lambda: [2, 3, 5, 7, 11])
     msd_scales: int = 3
+    # conditioning source: "gt" trains on ground-truth mels (from scratch);
+    # "fs2" fine-tunes on teacher-forced FastSpeech2 PREDICTED mels aligned
+    # with the real audio (the HiFi-GAN paper's TTS fine-tuning recipe —
+    # closes the train/inference mel mismatch).  "fs2" requires trained
+    # rank + FS2 experiments (inference.rank_exp / inference.fs2_exp).
+    condition: str = "gt"
+    fs2_split: str = "train"  # which split provides the fine-tuning mels
 
 
 @dataclass

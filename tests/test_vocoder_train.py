@@ -184,3 +184,81 @@ def test_train_vocoder_cli(tmp_path):
     exps = glob(os.path.join(cfg.data.experiment_path, "vocoder", "exp_*"))
     assert len(exps) == 1
     assert os.path.exists(os.path.join(exps[0], "vocoder.npz"))
+
+
+def test_paired_segment_sampler_alignment():
+    """Crops must stay frame-aligned: mel frame k ↔ wav samples [k·hop,(k+1)·hop)."""
+    from emotts.train.vocoder_trainer import PairedSegmentSampler
+
+    hop, f = 4, 3
+    # mel frame k holds value k; wav sample s holds s // hop
+    mel = np.arange(10, dtype=np.float32)[:, None] * np.ones((1, 2), np.float32)
+    wav = np.repeat(np.arange(10, dtype=np.float32), hop)
+    short_mel = np.zeros((2, 2), np.float32)
+    short_wav = np.zeros(2 * hop, np.float32)
+    s = PairedSegmentSampler([(mel, wav), (short_mel, short_wav)],
+                             segment_frames=f, hop=hop, mel_floor=-11.5, seed=0)
+    for _ in range(10):
+        b = s.batch(4)
+        assert b["y"].shape == (4, f * hop)
+        assert b["mel_cond"].shape == (4, f, 2)
+        for row in range(4):
+            frames = b["mel_cond"][row, :, 0]
+            samples = b["y"][row]
+            if (frames > 0).any() or samples.max() > 0:  # the long pair
+                np.testing.assert_array_equal(
+                    np.repeat(frames, hop), samples
+                )
+
+
+def test_finetune_on_fs2_mels(tmp_path):
+    """condition=fs2: teacher-forced FS2 mels pair with real audio and the
+    GAN step trains end to end through the CLI."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synthetic_corpus import make_corpus
+
+    from emotts.cli.main import main
+    from emotts.utils.config import save_config
+
+    cfg = make_corpus(str(tmp_path / "corpus"), utts_per_emotion=4)
+    cfg.rank_model.n_encoder_layers = 1
+    cfg.rank_model.hidden_dim = 32
+    cfg.rank_model.ffn_mult = 2
+    f = cfg.fastspeech2
+    f.enc_num_layers = f.dec_num_layers = 1
+    f.enc_d_model = f.dec_d_model = 32
+    f.enc_ffn_dim = f.dec_ffn_dim = 64
+    f.postnet_embedding_dim = 32
+    f.postnet_n_convolutions = 3
+    f.max_mel_len = 128
+    cfg.train_rank.batch_size = cfg.train_fs2.batch_size = 4
+    cfg.train_rank.n_epochs = cfg.train_fs2.n_epochs = 1
+    cfg.train_rank.compute_dtype = cfg.train_fs2.compute_dtype = "float32"
+    cfg.mesh.data_parallel = 1
+    cfg.inference.rank_exp = cfg.inference.fs2_exp = "exp_1"
+    vc = cfg.train_vocoder
+    vc.condition = "fs2"
+    vc.n_steps = 2
+    vc.batch_size = 2
+    vc.segment_frames = 8
+    vc.upsample_initial_channel = 16
+    vc.resblock_kernel_sizes = [3]
+    vc.resblock_dilations = [[1, 3]]
+    vc.disc_channel_mult = 0.05
+    vc.mpd_periods = [2]
+    vc.msd_scales = 1
+    vc.compute_dtype = "float32"
+    vc.checkpoint_every_steps = 2
+    cfg_path = str(tmp_path / "cfg.yaml")
+    save_config(cfg, cfg_path)
+
+    assert main(["preprocess", "--config", cfg_path]) == 0
+    assert main(["fs2-splits", "--config", cfg_path]) == 0
+    assert main(["train-rank", "--config", cfg_path]) == 0
+    assert main(["train-fs2", "--config", cfg_path]) == 0
+    assert main(["train-vocoder", "--config", cfg_path]) == 0
+    exps = glob(os.path.join(cfg.data.experiment_path, "vocoder", "exp_*"))
+    assert len(exps) == 1
+    assert os.path.exists(os.path.join(exps[0], "vocoder.npz"))
