@@ -119,6 +119,101 @@ def main() -> None:
     )
 
 
+def _artifact_synthesizer(cfg):
+    """Build a Synthesizer through the real artifact path (best-params
+    export + intensity bank + vocoder npz written to disk, then loaded the
+    way the CLI loads them).  Returns (synthesizer, artifact_load_secs)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from emotts.infer.synthesize import Synthesizer, save_vocoder_params_npz, \
+        load_vocoder_checkpoint
+    from emotts.nn.hifigan import HiFiGANGenerator
+    from emotts.train.checkpoint import CheckpointManager, load_best_params
+    from emotts.train.fs2_trainer import build_fastspeech2, init_fs2_variables
+
+    root = tempfile.mkdtemp(prefix="emotts_bench_")
+    model = build_fastspeech2(cfg)
+    variables = init_fs2_variables(cfg, model, seed=0)
+    mgr = CheckpointManager(f"{root}/fs2_exp")
+    mgr.save_best(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    )
+    mgr.close()
+    rng = np.random.default_rng(0)
+    bank = rng.standard_normal(
+        (cfg.n_speakers, cfg.n_emotions, cfg.inference.bucket_size, cfg.n_emotions)
+    ).astype(np.float32)
+    np.save(f"{root}/intensity.npy", bank)
+    vocoder = HiFiGANGenerator(in_channels=cfg.audio.n_mels)
+    voc = vocoder.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, cfg.audio.n_mels)))
+    save_vocoder_params_npz(
+        jax.tree_util.tree_map(np.asarray, voc), f"{root}/vocoder.npz"
+    )
+
+    t_load = time.perf_counter()
+    fs2_vars = load_best_params(f"{root}/fs2_exp")
+    voc_params = load_vocoder_checkpoint(f"{root}/vocoder.npz", cfg)
+    voc_params = jax.tree_util.tree_map(jnp.asarray, voc_params)
+    synth = Synthesizer(
+        cfg,
+        jax.tree_util.tree_map(jnp.asarray, fs2_vars),
+        voc_params,
+        np.load(f"{root}/intensity.npy"),
+    )
+    return synth, time.perf_counter() - t_load
+
+
+def bench_ttfa() -> None:
+    """Streaming serving latency: warm time-to-first-audio for one sentence
+    through `emotts.infer.streaming.stream_text` (FastSpeech2 forward on the
+    sentence bucket + the first vocoder chunk + host transfer — includes the
+    real per-dispatch tunnel latency, which a served request also pays).
+
+    Run via ``python bench.py --ttfa``."""
+    from emotts.infer.streaming import stream_text
+    from emotts.utils.config import Config
+
+    cfg = Config()
+    cfg.fastspeech2.max_mel_len = 256
+    cfg.fastspeech2.intensity_dim = cfg.n_emotions
+    synth, _ = _artifact_synthesizer(cfg)
+    text = cfg.inference.text
+    chunk = 32  # frames → 512 ms of audio per chunk
+
+    def run_once():
+        t0 = time.perf_counter()
+        gen = stream_text(synth, text, 1, 2, level=1, chunk_frames=chunk)
+        first = next(gen)
+        ttfa = time.perf_counter() - t0
+        n = first.size
+        for piece in gen:
+            n += piece.size
+        total = time.perf_counter() - t0
+        return ttfa, total, n
+
+    run_once()  # compile all chunk shapes
+    runs = [run_once() for _ in range(10)]
+    ttfas = sorted(r[0] for r in runs)
+    sr = cfg.audio.sampling_rate
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_time_to_first_audio",
+                "value": ttfas[len(ttfas) // 2] * 1000.0,
+                "unit": "ms",
+                "ttfa_min_ms": ttfas[0] * 1000.0,
+                "full_sentence_ms": np.median([r[1] for r in runs]) * 1000.0,
+                "audio_secs": runs[0][2] / sr,
+                "chunk_frames": chunk,
+                "note": "warm; single sentence, FS2 + first vocoder chunk + host transfer",
+            }
+        )
+    )
+
+
 def bench_cli_path() -> None:
     """Time the REAL user synthesis path (reference: fastspeech2/inference.py
     :40-84): experiment artifacts loaded from disk (best FS2 checkpoint,
@@ -211,5 +306,7 @@ if __name__ == "__main__":
 
     if "--cli-path" in sys.argv:
         bench_cli_path()
+    elif "--ttfa" in sys.argv:
+        bench_ttfa()
     else:
         main()

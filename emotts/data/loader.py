@@ -43,6 +43,7 @@ class BucketLoader:
         prefetch: int = 2,
         process_index: int = 0,
         process_count: int = 1,
+        pad_to_multiple: int = 1,
     ):
         self.dataset = dataset
         self.buckets = sorted(buckets)
@@ -68,6 +69,12 @@ class BucketLoader:
             )
         self.process_index = process_index
         self.process_count = process_count
+        # pad trailing partial batches (drop_last=False) to a multiple of
+        # this by cyclically repeating examples — keeps eval batches
+        # shardable over a multi-device data axis without dropping data.
+        # A duplicated example biases the final batch's mean metrics
+        # slightly; the alternative (dropping eval rows) loses data.
+        self.pad_to_multiple = max(1, pad_to_multiple)
         self._lengths: Optional[List[int]] = None
 
     def _bucket_of(self, length: int) -> int:
@@ -100,6 +107,10 @@ class BucketLoader:
                 chunk = idxs[i : i + self.batch_size]
                 if len(chunk) < self.batch_size and self.drop_last:
                     continue
+                m = self.pad_to_multiple
+                if len(chunk) % m:
+                    need = -(-len(chunk) // m) * m - len(chunk)
+                    chunk = chunk + [chunk[j % len(chunk)] for j in range(need)]
                 batches.append(chunk)
         if self.shuffle:
             rng = np.random.default_rng(self.seed * 7919 + epoch)

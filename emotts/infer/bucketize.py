@@ -34,6 +34,11 @@ def compute_intensity_prototypes(
     """Run the rank model over the split and build the prototype bank."""
     mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
     model = build_rank_model(cfg, dtype=jnp.float32)
+    # checkpoint-loaded params live on the default device; batches shard
+    # over the mesh — replicate explicitly or jit rejects the device mix
+    from emotts.parallel.mesh import replicated
+
+    params = jax.device_put(params, replicated(mesh))
     bucket_size = cfg.inference.bucket_size
     n_spk, n_emo = cfg.n_speakers, cfg.n_emotions
 
@@ -60,11 +65,24 @@ def compute_intensity_prototypes(
         drop_last=False,
     )
 
+    data_size = mesh.shape[mesh.axis_names[0]]
     storage: Dict[Tuple[int, int], List[Tuple[float, np.ndarray]]] = {}
     for batch in loader.epoch(0):
+        b_true = batch["emo_x"].shape[0]
+        if b_true % data_size:
+            # zero-pad rows so the final partial batch shards evenly; padded
+            # rows are sliced off below (never duplicated into the bank)
+            b_pad = -(-b_true // data_size) * data_size
+            batch = {
+                k: np.concatenate(
+                    [v, np.zeros((b_pad - b_true, *v.shape[1:]), v.dtype)]
+                )
+                if isinstance(v, np.ndarray) else v
+                for k, v in batch.items()
+            }
         sharded = shard_batch(mesh, batch)
         intensity, scores = jax.device_get(forward(params, sharded))
-        for i in range(len(scores)):
+        for i in range(b_true):
             t = int(batch["lengths"][i])
             key = (int(batch["speakers"][i]), int(batch["emotions"][i]))
             storage.setdefault(key, []).append(

@@ -39,8 +39,20 @@ class Synthesizer:
         vocoder_params: Optional[dict] = None,
         intensity_bank: Optional[np.ndarray] = None,  # (n_spk, n_emo, levels, n_emo)
         g2p: Optional[G2P] = None,
+        mesh=None,  # optional jax Mesh: shard synthesis batches over `data`
     ):
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            # params replicate once; every batch shards over the data axis —
+            # the sweep (and long-form sentence batches) then scale over ICI
+            from emotts.parallel.mesh import batch_sharding, replicated
+
+            self._batch_sh = batch_sharding(mesh)
+            rep = replicated(mesh)
+            fs2_variables = jax.device_put(fs2_variables, rep)
+            if vocoder_params is not None:
+                vocoder_params = jax.device_put(vocoder_params, rep)
         self.model = build_fastspeech2(cfg)
         self.fs2_variables = fs2_variables
         if vocoder_params is not None:
@@ -91,6 +103,22 @@ class Synthesizer:
             wav.astype(jnp.float32) * 32767.0, -32768.0, 32767.0
         ).astype(jnp.int16)
 
+    # -- mesh helpers ----------------------------------------------------
+
+    def _padded_batch(self, b: int) -> int:
+        """Round the batch up to a multiple of the data-axis size so it
+        shards evenly; padded rows are all-pad phonemes ⇒ mel_lens 0, so
+        they contribute nothing downstream."""
+        if self.mesh is None:
+            return b
+        n = self.mesh.shape[self.mesh.axis_names[0]]
+        return -(-b // n) * n
+
+    def _put(self, arr):
+        return (
+            arr if self.mesh is None else jax.device_put(arr, self._batch_sh)
+        )
+
     # -- public API ------------------------------------------------------
 
     def text_to_phoneme_ids(self, text: str) -> np.ndarray:
@@ -120,15 +148,18 @@ class Synthesizer:
         if p_bucket < 0:
             p_bucket = len(phoneme_ids)
         b = len(speakers)
-        phon = np.zeros((b, p_bucket), np.int32)
-        phon[:, : len(phoneme_ids)] = phoneme_ids
-        inten = np.zeros((b, p_bucket, intensity.shape[-1]), np.float32)
-        inten[:, : intensity.shape[1]] = intensity
+        b_pad = self._padded_batch(b)
+        phon = np.zeros((b_pad, p_bucket), np.int32)
+        phon[:b, : len(phoneme_ids)] = phoneme_ids
+        spk = np.zeros((b_pad,), np.int32)
+        spk[:b] = speakers
+        inten = np.zeros((b_pad, p_bucket, intensity.shape[-1]), np.float32)
+        inten[:b, : intensity.shape[1]] = intensity
         mel, mel_lens = self._mel_fn(
             self.fs2_variables,
-            jnp.asarray(phon),
-            jnp.asarray(speakers),
-            jnp.asarray(inten),
+            self._put(jnp.asarray(phon)),
+            self._put(jnp.asarray(spk)),
+            self._put(jnp.asarray(inten)),
             max_mel_len=self.cfg.fastspeech2.max_mel_len,
             pace=pace,
             pitch_rate=pitch_rate,
@@ -279,9 +310,17 @@ class Synthesizer:
 
 
 def load_synthesizer(cfg: Config, fs2_exp: Optional[str] = None,
-                     rank_exp: Optional[str] = None) -> Synthesizer:
+                     rank_exp: Optional[str] = None,
+                     mesh=None) -> Synthesizer:
     """Assemble a Synthesizer from experiment artifacts (best FS2 checkpoint,
-    intensity.npy, optional converted vocoder checkpoint)."""
+    intensity.npy, optional converted vocoder checkpoint).
+
+    ``mesh`` (or ``cfg.mesh.data_parallel > 1``) enables data-parallel
+    synthesis: sweep/sentence batches shard over the mesh's data axis."""
+    if mesh is None and cfg.mesh.data_parallel > 1:
+        from emotts.parallel.mesh import make_mesh
+
+        mesh = make_mesh(cfg.mesh)
     from emotts.train.checkpoint import load_best_params
     from emotts.train.fs2_trainer import init_fs2_variables, build_fastspeech2
 
@@ -304,7 +343,7 @@ def load_synthesizer(cfg: Config, fs2_exp: Optional[str] = None,
     ckpt = cfg.inference.vocoder_checkpoint
     if ckpt and os.path.exists(ckpt):
         voc_params = load_vocoder_checkpoint(ckpt, cfg)
-    return Synthesizer(cfg, fs2_vars, voc_params, bank)
+    return Synthesizer(cfg, fs2_vars, voc_params, bank, mesh=mesh)
 
 
 def load_vocoder_checkpoint(path: str, cfg: Config) -> dict:

@@ -239,6 +239,8 @@ class FS2Trainer:
             shuffle=shuffle,
             seed=cfg.data.split_seed,
             drop_last=shuffle,
+            # eval partial batches pad (cyclic repeat) to shard over the mesh
+            pad_to_multiple=self.mesh.shape[self.mesh.axis_names[0]],
             # multi-host: each process consumes a disjoint plan slice
             process_index=jax.process_index(),
             process_count=jax.process_count(),

@@ -186,3 +186,38 @@ def test_long_text_cli(synth, tmp_path, monkeypatch):
     import emotts.audio.wavio as wavio
     data, sr = wavio.read_wav(str(wavs[0]))
     assert sr == cfg.audio.sampling_rate and len(data) > 0
+
+
+def test_mesh_parallel_synthesis_matches_single_device(synth):
+    """Data-parallel synthesis over the 8-virtual-device mesh: batches pad
+    to the data-axis size, shard, and produce the same mels/waveforms as the
+    unsharded path (fp32, so exact up to XLA reduction order)."""
+    from emotts.parallel.mesh import make_mesh
+    from emotts.utils.config import MeshConfig
+
+    cfg, s = synth
+    mesh = make_mesh(MeshConfig(data_parallel=4, model_parallel=1))
+    s2 = Synthesizer(cfg, s.fs2_variables, s.vocoder_params,
+                     s.intensity_bank, g2p=s.g2p, mesh=mesh)
+    s2.vocoder = s.vocoder
+    s2._voc_fn = jax.jit(s2._vocode)
+
+    ids = s.text_to_phoneme_ids("the mesh speaks")
+    speakers = np.array([0, 1, 0], np.int32)  # 3 rows → pads to 4
+    inten = np.stack([s.intensity_for(int(sp), 2, 1, len(ids))
+                      for sp in speakers])
+    mel1, lens1 = s.synthesize_mels(ids, speakers, inten)
+    mel2, lens2 = s2.synthesize_mels(ids, speakers, inten)
+    assert mel2.shape[0] == 4 and int(np.asarray(lens2)[3]) == 0  # padded row
+    np.testing.assert_array_equal(np.asarray(lens1), np.asarray(lens2)[:3])
+    np.testing.assert_allclose(
+        np.asarray(mel1), np.asarray(mel2)[:3], rtol=1e-5, atol=1e-5
+    )
+    w1 = np.asarray(jax.device_get(s.vocode(mel1)))
+    w2 = np.asarray(jax.device_get(s2.vocode(mel2)))[:3]
+    np.testing.assert_allclose(w1, w2, atol=1)  # int16 PCM, ±1 LSB
+
+    out = s2.intensity_sweep("the mesh speaks")
+    assert len(out) == cfg.n_speakers * 3 * cfg.inference.bucket_size
+    for v in out.values():
+        assert np.isfinite(v).all()
