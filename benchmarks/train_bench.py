@@ -169,9 +169,10 @@ def bench_vocoder(cfg, mesh, batch_size) -> dict:
     dt = (time.perf_counter() - t0) / n
     flops = _flops_per_step(trainer._train_step_fn, gs, ds, dict(sharded))
     sr = cfg.audio.sampling_rate
+    n_chips = mesh.size  # global batch / time is aggregate; report per chip
     return {
         "metric": "vocoder_train_step",
-        "value": b * s / sr / dt,
+        "value": b * s / sr / dt / n_chips,
         "unit": "audio-sec/sec/chip",
         "steps_per_sec": 1.0 / dt,
         "step_ms": dt * 1000.0,

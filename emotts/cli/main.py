@@ -77,8 +77,14 @@ def _parse(argv):
                         help="(synthesize --text-file) speaker name")
     parser.add_argument("--emotion", default=None,
                         help="(synthesize --text-file) emotion name")
-    parser.add_argument("--level", type=int, default=0,
-                        help="(synthesize --text-file) intensity level")
+    parser.add_argument("--level", type=float, default=0.0,
+                        help="(synthesize --text-file) intensity level; "
+                        "fractional values interpolate between bucket "
+                        "prototypes (e.g. 1.5)")
+    parser.add_argument("--intensity-scale", type=float, default=1.0,
+                        help="(synthesize --text-file) multiplier on the "
+                        "intensity conditioning vector (0=neutral-like, "
+                        ">1=exaggerated)")
     parser.add_argument("--pace", type=float, default=1.0,
                         help="(synthesize --text-file) speaking-rate multiplier")
     parser.add_argument("--stream", action="store_true",
@@ -192,7 +198,8 @@ def main(argv=None) -> int:
                 ttfa = None
                 chunks = []
                 for chunk in stream_text(
-                    synth, text, spk, emo, level=args.level, pace=args.pace
+                    synth, text, spk, emo, level=args.level, pace=args.pace,
+                    intensity_scale=args.intensity_scale,
                 ):
                     if ttfa is None:
                         ttfa = time.perf_counter() - t0
@@ -202,12 +209,13 @@ def main(argv=None) -> int:
                       f"({len(chunks)} chunks)")
             else:
                 wav = synth.synthesize_text(
-                    text, spk, emo, level=args.level, pace=args.pace
+                    text, spk, emo, level=args.level, pace=args.pace,
+                    intensity_scale=args.intensity_scale,
                 )
             os.makedirs(cfg.inference.output_path, exist_ok=True)
             out_wav = os.path.join(
                 cfg.inference.output_path,
-                f"longform_{args.speaker}_{args.emotion}_{args.level}.wav",
+                f"longform_{args.speaker}_{args.emotion}_{args.level:g}.wav",
             )
             write_wav(out_wav, wav, cfg.audio.sampling_rate)
             dur = len(wav) / cfg.audio.sampling_rate

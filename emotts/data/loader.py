@@ -69,12 +69,19 @@ class BucketLoader:
             )
         self.process_index = process_index
         self.process_count = process_count
-        # pad trailing partial batches (drop_last=False) to a multiple of
+        # pad TRAILING PARTIAL batches (drop_last=False) to a multiple of
         # this by cyclically repeating examples — keeps eval batches
         # shardable over a multi-device data axis without dropping data.
+        # Full batches are never padded: batch_size itself must already be
+        # divisible (asserted below) or sharding would reject every batch.
         # A duplicated example biases the final batch's mean metrics
         # slightly; the alternative (dropping eval rows) loses data.
         self.pad_to_multiple = max(1, pad_to_multiple)
+        if self.pad_to_multiple > 1:
+            assert batch_size % self.pad_to_multiple == 0, (
+                "batch_size must be a multiple of the data-axis size",
+                batch_size, self.pad_to_multiple,
+            )
         self._lengths: Optional[List[int]] = None
 
     def _bucket_of(self, length: int) -> int:
@@ -108,7 +115,7 @@ class BucketLoader:
                 if len(chunk) < self.batch_size and self.drop_last:
                     continue
                 m = self.pad_to_multiple
-                if len(chunk) % m:
+                if len(chunk) < self.batch_size and len(chunk) % m:
                     need = -(-len(chunk) // m) * m - len(chunk)
                     chunk = chunk + [chunk[j % len(chunk)] for j in range(need)]
                 batches.append(chunk)

@@ -65,14 +65,16 @@ def compute_intensity_prototypes(
         drop_last=False,
     )
 
-    data_size = mesh.shape[mesh.axis_names[0]]
+    from emotts.parallel.mesh import data_axis_size, round_up_to_multiple
+
+    data_size = data_axis_size(mesh)
     storage: Dict[Tuple[int, int], List[Tuple[float, np.ndarray]]] = {}
     for batch in loader.epoch(0):
         b_true = batch["emo_x"].shape[0]
         if b_true % data_size:
             # zero-pad rows so the final partial batch shards evenly; padded
             # rows are sliced off below (never duplicated into the bank)
-            b_pad = -(-b_true // data_size) * data_size
+            b_pad = round_up_to_multiple(b_true, data_size)
             batch = {
                 k: np.concatenate(
                     [v, np.zeros((b_pad - b_true, *v.shape[1:]), v.dtype)]

@@ -27,6 +27,26 @@ import numpy as np
 DEFAULT_HALO = 16  # mel frames; > the V1 generator's ~14-frame receptive field
 
 
+def generator_halo_frames(gen) -> int:
+    """Halo (half receptive field, in mel frames, rounded up + safety margin)
+    computed from a :class:`~emotts.nn.hifigan.HiFiGANGenerator`'s actual
+    structure — generators loaded from arbitrary checkpoints (larger kernels
+    or extra dilation steps) get a sufficient halo automatically instead of
+    inheriting the V1-tuned DEFAULT_HALO."""
+    half = 3.0  # conv_pre k=7
+    rate = 1
+    for u, ku in zip(gen.upsample_rates, gen.upsample_kernel_sizes):
+        rate *= u
+        half += ku / rate  # transposed conv reach at this stage's rate
+        stage = 0.0
+        for k, ds in zip(gen.resblock_kernel_sizes, gen.resblock_dilations):
+            reach = sum((k - 1) // 2 * d + (k - 1) // 2 for d in ds)
+            stage = max(stage, float(reach))
+        half += stage / rate
+    half += 3.0 / rate  # post conv k=7
+    return int(np.ceil(half)) + 2
+
+
 def vocode_streaming(
     voc_fn: Callable,
     params,
@@ -56,13 +76,15 @@ def stream_text(
     text: str,
     speaker_id: int,
     emotion_id: int,
-    level: int = 0,
+    level: float = 0,
     pace: float = 1.0,
     pitch_rate: float = 1.0,
     energy_rate: float = 1.0,
     gap_s: float = 0.15,
+    intensity_scale: float = 1.0,
     chunk_frames: int = 64,
-    halo_frames: int = DEFAULT_HALO,
+    halo_frames: Optional[int] = None,  # default: computed from the
+    # synthesizer's actual generator structure (generator_halo_frames)
 ) -> Iterator[np.ndarray]:
     """Long-form streaming synthesis: sentence-split ``text``, synthesize each
     sentence's mel, and yield float32 waveform chunks in playback order with
@@ -82,6 +104,8 @@ def stream_text(
 
     if synth._voc_fn is None:
         raise RuntimeError("stream_text requires vocoder params")
+    if halo_frames is None:
+        halo_frames = generator_halo_frames(synth.vocoder)
     cfg = synth.cfg
     hop = cfg.audio.hop_length
     sentences = split_sentences(text)
@@ -94,7 +118,9 @@ def stream_text(
     for i, ids in enumerate(seqs):
         if i and gap.size:
             yield gap
-        inten = synth.intensity_for(speaker_id, emotion_id, level, len(ids))[None]
+        inten = synth.intensity_for(
+            speaker_id, emotion_id, level, len(ids), scale=intensity_scale,
+        )[None]
         mel, lens = synth.synthesize_mels(
             ids, np.array([speaker_id], np.int32), inten,
             pace=pace, pitch_rate=pitch_rate, energy_rate=energy_rate,

@@ -40,6 +40,10 @@ class Synthesizer:
         intensity_bank: Optional[np.ndarray] = None,  # (n_spk, n_emo, levels, n_emo)
         g2p: Optional[G2P] = None,
         mesh=None,  # optional jax Mesh: shard synthesis batches over `data`
+        vocoder_structure: Optional[Dict] = None,  # explicit generator
+        # kwargs for checkpoints whose dilations/strides deviate from the
+        # HiFi-GAN conventions generator_structure_from_params assumes
+        # (dilations are not recoverable from weight shapes)
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -59,10 +63,13 @@ class Synthesizer:
             # Build the generator to match the checkpoint's actual structure
             # (any V1/V2/V3-family model) instead of hard-coding V1 the way
             # the reference does (fastspeech2/train.py:225).
-            from emotts.nn.hifigan import generator_structure_from_params
+            if vocoder_structure is None:
+                from emotts.nn.hifigan import generator_structure_from_params
 
-            structure = generator_structure_from_params(vocoder_params)
-            self.vocoder = HiFiGANGenerator(**structure)
+                vocoder_structure = generator_structure_from_params(
+                    vocoder_params
+                )
+            self.vocoder = HiFiGANGenerator(**vocoder_structure)
         else:
             self.vocoder = HiFiGANGenerator(in_channels=cfg.audio.n_mels)
         self.vocoder_params = vocoder_params
@@ -111,8 +118,9 @@ class Synthesizer:
         they contribute nothing downstream."""
         if self.mesh is None:
             return b
-        n = self.mesh.shape[self.mesh.axis_names[0]]
-        return -(-b // n) * n
+        from emotts.parallel.mesh import data_axis_size, round_up_to_multiple
+
+        return round_up_to_multiple(b, data_axis_size(self.mesh))
 
     def _put(self, arr):
         return (
@@ -125,13 +133,29 @@ class Synthesizer:
         return np.asarray(self.g2p.text_to_sequence(text), dtype=np.int32)
 
     def intensity_for(
-        self, speaker_id: int, emotion_id: int, level: int, n_phones: int
+        self, speaker_id: int, emotion_id: int, level: float, n_phones: int,
+        scale: float = 1.0,
     ) -> np.ndarray:
-        """Prototype lookup broadcast over phones; neutral (class 0) → zeros."""
+        """Prototype lookup broadcast over phones; neutral (class 0) → zeros.
+
+        CONTINUOUS control beyond the reference's 3 discrete levels
+        (fastspeech2/inference.py:12-21): a fractional ``level`` linearly
+        interpolates between the two adjacent bucket prototypes (level 1.5 =
+        halfway between buckets 1 and 2; clamped to the bank's range), and
+        ``scale`` multiplies the conditioning vector (0 → neutral-like,
+        >1 → exaggerated) — the knobs the learned rank ordering makes
+        meaningful."""
         n_emo = self.cfg.n_emotions
         if emotion_id == 0 or self.intensity_bank is None:
             return np.zeros((n_phones, n_emo), np.float32)
-        proto = self.intensity_bank[speaker_id, emotion_id, level]  # (n_emo,)
+        levels = self.intensity_bank.shape[2]
+        lv = float(np.clip(level, 0.0, levels - 1))
+        lo, hi = int(np.floor(lv)), int(np.ceil(lv))
+        frac = lv - lo
+        proto = (1.0 - frac) * self.intensity_bank[speaker_id, emotion_id, lo]
+        if frac:
+            proto = proto + frac * self.intensity_bank[speaker_id, emotion_id, hi]
+        proto = proto * scale
         return np.broadcast_to(proto, (n_phones, n_emo)).astype(np.float32)
 
     def synthesize_mels(
@@ -237,11 +261,12 @@ class Synthesizer:
         text: str,
         speaker_id: int,
         emotion_id: int,
-        level: int = 0,
+        level: float = 0,
         pace: float = 1.0,
         pitch_rate: float = 1.0,
         energy_rate: float = 1.0,
         gap_s: float = 0.15,
+        intensity_scale: float = 1.0,
     ) -> np.ndarray:
         """Long-form synthesis: split ``text`` into sentences, batch sentences
         that share a phone bucket through one jitted pass each, vocode, and
@@ -272,19 +297,23 @@ class Synthesizer:
         hop = cfg.audio.hop_length
         for pb, idxs in sorted(groups.items()):
             b = len(idxs)
-            phon = np.zeros((b, pb), np.int32)
-            inten = np.zeros((b, pb, cfg.n_emotions), np.float32)
+            b_pad = self._padded_batch(b)  # mesh: shard sentences over data
+            phon = np.zeros((b_pad, pb), np.int32)
+            inten = np.zeros((b_pad, pb, cfg.n_emotions), np.float32)
+            spk = np.zeros((b_pad,), np.int32)
+            spk[:b] = speaker_id
             for row, i in enumerate(idxs):
                 ids = seqs[i]
                 phon[row, : len(ids)] = ids
                 inten[row, : len(ids)] = self.intensity_for(
-                    speaker_id, emotion_id, level, len(ids)
+                    speaker_id, emotion_id, level, len(ids),
+                    scale=intensity_scale,
                 )
             mel, mel_lens = self._mel_fn(
                 self.fs2_variables,
-                jnp.asarray(phon),
-                jnp.asarray(np.full((b,), speaker_id, np.int32)),
-                jnp.asarray(inten),
+                self._put(jnp.asarray(phon)),
+                self._put(jnp.asarray(spk)),
+                self._put(jnp.asarray(inten)),
                 max_mel_len=cfg.fastspeech2.max_mel_len,
                 pace=pace,
                 pitch_rate=pitch_rate,
@@ -315,12 +344,17 @@ def load_synthesizer(cfg: Config, fs2_exp: Optional[str] = None,
     """Assemble a Synthesizer from experiment artifacts (best FS2 checkpoint,
     intensity.npy, optional converted vocoder checkpoint).
 
-    ``mesh`` (or ``cfg.mesh.data_parallel > 1``) enables data-parallel
-    synthesis: sweep/sentence batches shard over the mesh's data axis."""
-    if mesh is None and cfg.mesh.data_parallel > 1:
+    ``mesh`` (or a multi-device mesh config) enables data-parallel synthesis:
+    sweep/sentence batches shard over the mesh's data axis.  The default
+    ``mesh.data_parallel: -1`` means "all devices", matching the trainers —
+    synthesis engages the mesh whenever it would span more than one chip."""
+    if mesh is None:
         from emotts.parallel.mesh import make_mesh
 
-        mesh = make_mesh(cfg.mesh)
+        dp = cfg.mesh.data_parallel
+        n_avail = len(jax.devices())
+        if dp > 1 or (dp <= 0 and n_avail // max(1, cfg.mesh.model_parallel) > 1):
+            mesh = make_mesh(cfg.mesh)
     from emotts.train.checkpoint import load_best_params
     from emotts.train.fs2_trainer import init_fs2_variables, build_fastspeech2
 

@@ -74,3 +74,15 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
 def replicate(mesh: Mesh, tree):
     """Device-put a pytree fully replicated over the mesh."""
     return jax.device_put(tree, replicated(mesh))
+
+
+def round_up_to_multiple(n: int, m: int) -> int:
+    """Smallest multiple of m that is >= n (shard-alignment arithmetic —
+    the one implementation shared by the loader, bucketizer, and
+    synthesizer padding paths)."""
+    m = max(1, m)
+    return -(-n // m) * m
+
+
+def data_axis_size(mesh: Mesh) -> int:
+    return mesh.shape[mesh.axis_names[0]]

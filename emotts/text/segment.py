@@ -34,7 +34,10 @@ def split_sentences(text: str) -> List[str]:
         words = before.split()
         last = words[-1].lower().strip("\"'([") if words else ""
         if m.group(1).startswith(".") and (
-            last in _ABBREVIATIONS or (len(last) == 1 and last.isalpha())
+            last in _ABBREVIATIONS
+            # single-letter initial ("J. R. Tolkien") — but NOT the pronoun
+            # "I", which commonly ends a sentence ("So did I.")
+            or (len(last) == 1 and last.isalpha() and last != "i")
         ):
             continue  # abbreviation or initial, not a boundary
         seg = text[start : m.end()].strip()

@@ -18,6 +18,16 @@ import orbax.checkpoint as ocp
 from emotts.train.state import TrainState
 
 
+def make_orbax_manager(ckpt_dir: str, keep: int = 3) -> ocp.CheckpointManager:
+    """The one place the retention/async checkpoint options live — used by
+    :class:`CheckpointManager` and the vocoder trainer's paired-state
+    checkpoints alike, so the semantics cannot drift apart."""
+    options = ocp.CheckpointManagerOptions(
+        max_to_keep=keep, create=True, enable_async_checkpointing=True
+    )
+    return ocp.CheckpointManager(ckpt_dir, options=options)
+
+
 class CheckpointManager:
     """Step-indexed full-state checkpoints under <exp>/checkpoints plus a
     single 'best' params-only export under <exp>/best."""
@@ -27,10 +37,7 @@ class CheckpointManager:
         self.ckpt_dir = (self.exp_path / "checkpoints").absolute()
         self.best_dir = (self.exp_path / "best").absolute()
         self.ckpt_dir.mkdir(parents=True, exist_ok=True)
-        options = ocp.CheckpointManagerOptions(
-            max_to_keep=keep, create=True, enable_async_checkpointing=True
-        )
-        self._mgr = ocp.CheckpointManager(self.ckpt_dir, options=options)
+        self._mgr = make_orbax_manager(str(self.ckpt_dir), keep)
         self._best = ocp.StandardCheckpointer()
 
     def save(self, state: TrainState) -> None:

@@ -333,14 +333,11 @@ class VocoderTrainer:
     # ------------------------------------------------------------------
 
     def _ckpt_mgr(self, exp_path: str) -> ocp.CheckpointManager:
-        vc = self.cfg.train_vocoder
-        options = ocp.CheckpointManagerOptions(
-            max_to_keep=vc.keep_checkpoints, create=True,
-            enable_async_checkpointing=True,
-        )
-        return ocp.CheckpointManager(
+        from emotts.train.checkpoint import make_orbax_manager
+
+        return make_orbax_manager(
             os.path.join(os.path.abspath(exp_path), "checkpoints"),
-            options=options,
+            keep=self.cfg.train_vocoder.keep_checkpoints,
         )
 
     def restore(self, exp_path: str) -> bool:

@@ -231,3 +231,35 @@ def test_bucket_loader_process_sharding(tmp_path):
         rows = np.concatenate([p["idx"] for p in parts])
         np.testing.assert_array_equal(rows, np.asarray(idxs))
         assert all(len(p["idx"]) == 2 for p in parts)
+
+
+def test_loader_pads_only_trailing_partial_batches(tmp_path):
+    """pad_to_multiple pads ONLY the trailing partial batch (review finding:
+    it must never grow full batches), and requires batch_size divisible."""
+    import pytest
+
+    from emotts.data.loader import BucketLoader
+
+    class Toy:
+        def __len__(self):
+            return 11
+
+        def __getitem__(self, i):
+            return i
+
+        def length_of(self, i):
+            return 10
+
+    loader = BucketLoader(
+        Toy(), buckets=[16], batch_size=4,
+        collate=lambda ex, b: {"idx": np.array(ex)},
+        shuffle=False, drop_last=False, pad_to_multiple=2,
+    )
+    plans = loader.plan_epoch(0)
+    sizes = sorted(len(p) for p in plans)
+    assert sizes == [4, 4, 4]  # 11 → 4+4+3, trailing 3 padded to 4
+    tail = plans[-1]
+    assert tail[3] == tail[0]  # cyclic repeat of the first example
+    with pytest.raises(AssertionError):
+        BucketLoader(Toy(), buckets=[16], batch_size=3,
+                     collate=lambda ex, b: {}, pad_to_multiple=2)

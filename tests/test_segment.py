@@ -44,3 +44,14 @@ def test_quotes_after_punctuation():
 def test_empty_and_whitespace():
     assert split_sentences("") == []
     assert split_sentences("   \n ") == []
+
+
+def test_pronoun_i_ends_sentence():
+    # "I" is a pronoun here, not an initial — must split (review finding)
+    assert split_sentences("So did I. Then we left.") == [
+        "So did I.", "Then we left.",
+    ]
+    # genuine initials still merge
+    assert split_sentences("J. R. Tolkien wrote. I agree.") == [
+        "J. R. Tolkien wrote.", "I agree.",
+    ]

@@ -112,3 +112,37 @@ def test_stream_cli(synth, tmp_path, monkeypatch):  # noqa: F811
 
     data, sr = wavio.read_wav(str(tmp_path / "out" / "longform_b_angry_1.wav"))
     assert sr == cfg.audio.sampling_rate and len(data) > 0
+
+
+def test_generator_halo_covers_structure():
+    """The structure-derived halo must cover the receptive field for
+    non-V1 generators (review finding: DEFAULT_HALO was V1-tuned)."""
+    from emotts.infer.streaming import generator_halo_frames
+
+    v1 = HiFiGANGenerator()
+    h_v1 = generator_halo_frames(v1)
+    assert 14 <= h_v1 <= 20  # matches the measured ~14-frame V1 RF + margin
+
+    big = HiFiGANGenerator(
+        resblock_kernel_sizes=(3, 7, 11),
+        resblock_dilations=((1, 3, 5, 7),) * 3,  # extra dilation step
+    )
+    h_big = generator_halo_frames(big)
+    assert h_big > h_v1
+
+    # exactness holds with the derived halo on a non-V1 structure
+    gen = HiFiGANGenerator(
+        in_channels=4, upsample_initial_channel=16,
+        resblock_kernel_sizes=(11,), resblock_dilations=((1, 3, 5, 7),),
+    )
+    params = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 4)))
+    fn = jax.jit(lambda p, m: gen.apply(p, m))
+    mel = jnp.asarray(
+        np.random.default_rng(2).standard_normal((1, 120, 4)).astype(np.float32)
+    )
+    full = np.asarray(fn(params, mel))
+    halo = generator_halo_frames(gen)
+    streamed = np.concatenate(
+        list(vocode_streaming(fn, params, mel, hop=256, chunk_frames=40,
+                              halo_frames=halo)), axis=1)
+    np.testing.assert_array_equal(streamed, full)

@@ -221,3 +221,26 @@ def test_mesh_parallel_synthesis_matches_single_device(synth):
     assert len(out) == cfg.n_speakers * 3 * cfg.inference.bucket_size
     for v in out.values():
         assert np.isfinite(v).all()
+
+
+def test_continuous_intensity_interpolation(synth):
+    """Fractional levels lerp between bucket prototypes; scale multiplies;
+    out-of-range clamps; neutral stays zero (fine-grained control beyond the
+    reference's discrete levels, fastspeech2/inference.py:12-21)."""
+    cfg, s = synth
+    p0 = s.intensity_for(1, 2, 0, 4)
+    p1 = s.intensity_for(1, 2, 1, 4)
+    np.testing.assert_allclose(
+        s.intensity_for(1, 2, 0.5, 4), 0.5 * (p0 + p1), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        s.intensity_for(1, 2, 0.25, 4), 0.75 * p0 + 0.25 * p1, rtol=1e-5
+    )
+    np.testing.assert_array_equal(s.intensity_for(1, 2, 99.0, 4), p1)
+    np.testing.assert_allclose(
+        s.intensity_for(1, 2, 1, 4, scale=2.0), 2.0 * p1, rtol=1e-6
+    )
+    assert (s.intensity_for(1, 0, 0.5, 4, scale=3.0) == 0).all()
+    wav_lo = s.synthesize_text("Try it.", 1, 2, level=0.0)
+    wav_mid = s.synthesize_text("Try it.", 1, 2, level=0.5)
+    assert not np.array_equal(wav_lo, wav_mid)
