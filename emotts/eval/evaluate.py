@@ -36,8 +36,21 @@ from emotts.utils.config import Config
 
 class Evaluator:
     def __init__(self, cfg: Config, fs2_exp: Optional[str] = None,
-                 rank_exp: Optional[str] = None):
+                 rank_exp: Optional[str] = None, vocoder_params=None):
         self.cfg = cfg
+        self._voc_fn = None
+        if vocoder_params is not None:
+            from emotts.nn.hifigan import (
+                HiFiGANGenerator,
+                generator_structure_from_params,
+            )
+
+            voc = HiFiGANGenerator(
+                **generator_structure_from_params(vocoder_params)
+            )
+            self._voc_fn = jax.jit(
+                lambda mel: voc.apply(vocoder_params, mel)
+            )
         fs2_exp = fs2_exp or os.path.join(
             cfg.data.experiment_path, "fastspeech2", cfg.inference.fs2_exp
         )
@@ -90,8 +103,33 @@ class Evaluator:
 
     # ------------------------------------------------------------------
 
+    def _f0_row(self, batch, i: int, fr_mel, n_free: int) -> Dict:
+        """F0 accuracy of the free-running synthesis through the vocoder vs
+        the ground-truth waveform (both tracked with the in-repo DIO chain;
+        the GT audio is trimmed to its TextGrid speech span like the
+        features were)."""
+        from pathlib import Path
+
+        from emotts.audio.textgrid import process_textgrid
+        from emotts.audio.wavio import load_wav, trim_audio
+
+        cfg = self.cfg
+        sr, hop = cfg.audio.sampling_rate, cfg.audio.hop_length
+        wav_path = Path(str(batch["wavs"][i]))
+        tg = (Path(cfg.data.textgrid_path) / wav_path.parent.name
+              / f"{wav_path.stem}.TextGrid")
+        if not tg.exists():
+            return {}
+        _, _, t0, t1 = process_textgrid(str(tg), sr, hop, cfg.data.sil_phones)
+        ref = trim_audio(load_wav(str(wav_path), sr), t0, t1, sr)
+        syn = np.asarray(
+            jax.device_get(self._voc_fn(fr_mel[None, :n_free]))
+        ).reshape(-1)
+        out = evaluate_f0_through_vocoder(cfg, ref, syn)
+        return out
+
     def run(self, split: str = "valid", max_batches: Optional[int] = None,
-            out_path: Optional[str] = None) -> Dict:
+            out_path: Optional[str] = None, f0_max_utts: int = 32) -> Dict:
         cfg = self.cfg
         loader = BucketLoader(
             FS2Dataset(cfg, split),
@@ -139,6 +177,11 @@ class Evaluator:
                     row["mcd_dtw_free_running"] = mcd_dtw(
                         ref, np.asarray(fr_mel[i, :n_free])
                     )
+                    if self._voc_fn is not None and len(per_utt) < f0_max_utts:
+                        row.update(
+                            self._f0_row(batch, i, np.asarray(fr_mel[i]),
+                                         n_free)
+                        )
                 per_utt.append(row)
 
         report = aggregate(per_utt)

@@ -109,6 +109,23 @@ def test_evaluator_end_to_end(tmp_path):
     cfg_path = str(tmp_path / "cfg.yaml")
     save_config(cfg, cfg_path)
 
+    # tiny vocoder npz so the F0-through-vocoder metrics activate
+    import jax
+    import jax.numpy as jnp
+
+    from emotts.infer.synthesize import save_vocoder_params_npz
+    from emotts.nn.hifigan import HiFiGANGenerator
+
+    voc = HiFiGANGenerator(
+        in_channels=cfg.audio.n_mels, upsample_initial_channel=16,
+        resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),),
+    )
+    vp = voc.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, cfg.audio.n_mels)))
+    voc_path = str(tmp_path / "voc.npz")
+    save_vocoder_params_npz({"params": jax.device_get(vp)["params"]}, voc_path)
+    cfg.inference.vocoder_checkpoint = voc_path
+    save_config(cfg, cfg_path)
+
     assert main(["preprocess", "--config", cfg_path]) == 0
     assert main(["fs2-splits", "--config", cfg_path]) == 0
     assert main(["train-rank", "--config", cfg_path]) == 0
@@ -127,3 +144,8 @@ def test_evaluator_end_to_end(tmp_path):
     assert "mcd_dtw_free_running" in overall
     assert np.isfinite(overall["duration_mae_frames"])
     assert len(report["by_speaker_emotion"]) > 0
+    # F0-through-vocoder metrics present and finite (random vocoder weights
+    # give poor accuracy, but the chain must run end to end)
+    assert "vuv_error_rate" in overall
+    assert 0.0 <= overall["vuv_error_rate"] <= 1.0
+    assert np.isfinite(overall.get("f0_rmse_hz", 0.0))
