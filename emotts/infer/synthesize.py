@@ -256,6 +256,97 @@ class Synthesizer:
                     )
         return out
 
+    def synthesize_requests(
+        self,
+        requests,  # sequence of dicts: text, speaker, emotion[, level, scale]
+        pace: float = 1.0,
+        pitch_rate: float = 1.0,
+        energy_rate: float = 1.0,
+        gap_s: float = 0.15,
+    ):
+        """Serve a BATCH of long-form requests in one pass: every request's
+        text is sentence-split, and all segments across all requests that
+        share a phone bucket go through one jitted FS2+vocoder dispatch —
+        different speakers/emotions/levels mix freely within a batch row.
+        Device work is O(#distinct buckets), independent of request count.
+
+        Returns one float32 waveform per request (sentences joined with
+        ``gap_s`` of silence).  Prosody controls are jit-static and therefore
+        shared per call.
+        """
+        if self._voc_fn is None:
+            raise RuntimeError("synthesize_requests requires vocoder params")
+        cfg = self.cfg
+        segs = []  # (request_idx, order_in_request, ids, spk, emo, lvl, scale)
+        for r_i, r in enumerate(requests):
+            sentences = split_sentences(r["text"])
+            seqs = [self.text_to_phoneme_ids(s) for s in sentences]
+            seqs = [s for s in seqs if len(s) > 0]
+            if not seqs:
+                raise ValueError(
+                    f"request {r_i}: no synthesizable sentences in text"
+                )
+            for s_i, ids in enumerate(seqs):
+                segs.append((
+                    r_i, s_i, ids, int(r["speaker"]), int(r["emotion"]),
+                    float(r.get("level", 0.0)), float(r.get("scale", 1.0)),
+                ))
+
+        groups: Dict[int, list] = {}
+        for g_i, seg in enumerate(segs):
+            pb = pick_bucket(len(seg[2]), cfg.bucketing.phone_buckets)
+            if pb < 0:
+                pb = len(seg[2])
+            groups.setdefault(pb, []).append(g_i)
+
+        pieces: Dict[Tuple[int, int], np.ndarray] = {}
+        hop = cfg.audio.hop_length
+        for pb, idxs in sorted(groups.items()):
+            b = len(idxs)
+            b_pad = self._padded_batch(b)  # mesh: shard segments over data
+            phon = np.zeros((b_pad, pb), np.int32)
+            inten = np.zeros((b_pad, pb, cfg.n_emotions), np.float32)
+            spk = np.zeros((b_pad,), np.int32)
+            for row, g_i in enumerate(idxs):
+                r_i, s_i, ids, speaker, emotion, level, scale = segs[g_i]
+                phon[row, : len(ids)] = ids
+                spk[row] = speaker
+                inten[row, : len(ids)] = self.intensity_for(
+                    speaker, emotion, level, len(ids), scale=scale
+                )
+            mel, mel_lens = self._mel_fn(
+                self.fs2_variables,
+                self._put(jnp.asarray(phon)),
+                self._put(jnp.asarray(spk)),
+                self._put(jnp.asarray(inten)),
+                max_mel_len=cfg.fastspeech2.max_mel_len,
+                pace=pace,
+                pitch_rate=pitch_rate,
+                energy_rate=energy_rate,
+            )
+            pcm = self.vocode(mel)  # int16 (B, T·hop) on device
+            lens = np.asarray(jax.device_get(mel_lens))
+            t_max = int(lens.max()) * hop
+            pcm_np = np.asarray(jax.device_get(pcm[:, :t_max]))
+            for row, g_i in enumerate(idxs):
+                r_i, s_i = segs[g_i][0], segs[g_i][1]
+                pieces[(r_i, s_i)] = (
+                    pcm_np[row, : int(lens[row]) * hop].astype(np.float32)
+                    / 32767.0
+                )
+
+        gap = np.zeros(int(gap_s * cfg.audio.sampling_rate), np.float32)
+        out = []
+        for r_i in range(len(requests)):
+            parts = [pieces[k] for k in sorted(p for p in pieces if p[0] == r_i)]
+            chunks: list = []
+            for i, piece in enumerate(parts):
+                if i:
+                    chunks.append(gap)
+                chunks.append(piece)
+            out.append(np.concatenate(chunks))
+        return out
+
     def synthesize_text(
         self,
         text: str,
@@ -279,63 +370,14 @@ class Synthesizer:
         """
         if self._voc_fn is None:
             raise RuntimeError("synthesize_text requires vocoder params")
-        cfg = self.cfg
-        sentences = split_sentences(text)
-        seqs = [self.text_to_phoneme_ids(s) for s in sentences]
-        seqs = [s for s in seqs if len(s) > 0]
-        if not seqs:
-            raise ValueError("no synthesizable sentences in text")
-
-        groups: Dict[int, list] = {}
-        for i, ids in enumerate(seqs):
-            pb = pick_bucket(len(ids), cfg.bucketing.phone_buckets)
-            if pb < 0:
-                pb = len(ids)
-            groups.setdefault(pb, []).append(i)
-
-        pieces: list = [None] * len(seqs)
-        hop = cfg.audio.hop_length
-        for pb, idxs in sorted(groups.items()):
-            b = len(idxs)
-            b_pad = self._padded_batch(b)  # mesh: shard sentences over data
-            phon = np.zeros((b_pad, pb), np.int32)
-            inten = np.zeros((b_pad, pb, cfg.n_emotions), np.float32)
-            spk = np.zeros((b_pad,), np.int32)
-            spk[:b] = speaker_id
-            for row, i in enumerate(idxs):
-                ids = seqs[i]
-                phon[row, : len(ids)] = ids
-                inten[row, : len(ids)] = self.intensity_for(
-                    speaker_id, emotion_id, level, len(ids),
-                    scale=intensity_scale,
-                )
-            mel, mel_lens = self._mel_fn(
-                self.fs2_variables,
-                self._put(jnp.asarray(phon)),
-                self._put(jnp.asarray(spk)),
-                self._put(jnp.asarray(inten)),
-                max_mel_len=cfg.fastspeech2.max_mel_len,
-                pace=pace,
-                pitch_rate=pitch_rate,
-                energy_rate=energy_rate,
-            )
-            pcm = self.vocode(mel)  # int16 (B, T·hop) on device
-            lens = np.asarray(jax.device_get(mel_lens))
-            t_max = int(lens.max()) * hop
-            pcm_np = np.asarray(jax.device_get(pcm[:, :t_max]))
-            for row, i in enumerate(idxs):
-                pieces[i] = (
-                    pcm_np[row, : int(lens[row]) * hop].astype(np.float32)
-                    / 32767.0
-                )
-
-        gap = np.zeros(int(gap_s * cfg.audio.sampling_rate), np.float32)
-        chunks: list = []
-        for i, piece in enumerate(pieces):
-            if i:
-                chunks.append(gap)
-            chunks.append(piece)
-        return np.concatenate(chunks)
+        return self.synthesize_requests(
+            [{
+                "text": text, "speaker": speaker_id, "emotion": emotion_id,
+                "level": level, "scale": intensity_scale,
+            }],
+            pace=pace, pitch_rate=pitch_rate, energy_rate=energy_rate,
+            gap_s=gap_s,
+        )[0]
 
 
 def load_synthesizer(cfg: Config, fs2_exp: Optional[str] = None,

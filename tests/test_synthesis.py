@@ -244,3 +244,34 @@ def test_continuous_intensity_interpolation(synth):
     wav_lo = s.synthesize_text("Try it.", 1, 2, level=0.0)
     wav_mid = s.synthesize_text("Try it.", 1, 2, level=0.5)
     assert not np.array_equal(wav_lo, wav_mid)
+
+
+def test_synthesize_requests_batches_across_requests(synth):
+    """A batch of heterogeneous requests (different speakers/emotions/levels)
+    produces per-request waveforms identical to serving each request alone —
+    segments from different requests share device batches."""
+    cfg, s = synth
+    reqs = [
+        {"text": "One short line.", "speaker": 0, "emotion": 1, "level": 0},
+        {"text": "Two lines here. Second one!", "speaker": 1, "emotion": 2,
+         "level": 1, "scale": 1.5},
+        {"text": "Third request speaks.", "speaker": 1, "emotion": 0},
+    ]
+    outs = s.synthesize_requests(reqs, gap_s=0.05)
+    assert len(outs) == 3
+    for wav in outs:
+        assert wav.dtype == np.float32 and len(wav) > 0
+    solo = [
+        s.synthesize_text(r["text"], r["speaker"], r["emotion"],
+                          level=r.get("level", 0),
+                          intensity_scale=r.get("scale", 1.0), gap_s=0.05)
+        for r in reqs
+    ]
+    for batched, alone in zip(outs, solo):
+        np.testing.assert_array_equal(batched, alone)
+
+
+def test_synthesize_requests_rejects_empty_text(synth):
+    cfg, s = synth
+    with pytest.raises(ValueError):
+        s.synthesize_requests([{"text": "   ", "speaker": 0, "emotion": 1}])
