@@ -38,7 +38,12 @@ class Evaluator:
     def __init__(self, cfg: Config, fs2_exp: Optional[str] = None,
                  rank_exp: Optional[str] = None, vocoder_params=None):
         self.cfg = cfg
+        # NOTE every jitted function below takes params as ARGUMENTS, never
+        # as closure captures: captured full-size params embed as giant HLO
+        # constants (hundreds of MB of serialized program), which breaks
+        # remote-compile transports with HTTP 413 and defeats caching.
         self._voc_fn = None
+        self._voc_params = vocoder_params
         if vocoder_params is not None:
             from emotts.nn.hifigan import (
                 HiFiGANGenerator,
@@ -48,9 +53,7 @@ class Evaluator:
             voc = HiFiGANGenerator(
                 **generator_structure_from_params(vocoder_params)
             )
-            self._voc_fn = jax.jit(
-                lambda mel: voc.apply(vocoder_params, mel)
-            )
+            self._voc_fn = jax.jit(lambda params, mel: voc.apply(params, mel))
         fs2_exp = fs2_exp or os.path.join(
             cfg.data.experiment_path, "fastspeech2", cfg.inference.fs2_exp
         )
@@ -69,9 +72,9 @@ class Evaluator:
         rank_params = load_best_params(rank_exp, rank_template)
         self.extractor_params = extractor_params_from_rank(rank_params)
 
-        def forward(batch, teacher_forced: bool):
+        def forward(variables, ext_params, batch, teacher_forced: bool):
             frames = self.extractor.apply(
-                self.extractor_params, batch["rank_x"], batch["mel_len"],
+                ext_params, batch["rank_x"], batch["mel_len"],
                 batch["emotions"],
             )
             rep = segment_mean(frames, batch["durations"])
@@ -80,20 +83,22 @@ class Evaluator:
             )
             if teacher_forced:
                 preds = self.model.apply(
-                    self.variables, batch["phonemes"], batch["speakers"],
+                    variables, batch["phonemes"], batch["speakers"],
                     batch["durations"], batch["pitch"], batch["energy"],
                     **kwargs,
                 )
             else:
                 preds = self.model.apply(
-                    self.variables, batch["phonemes"], batch["speakers"],
+                    variables, batch["phonemes"], batch["speakers"],
                     **kwargs,
                 )
             # (postnet mel, log-durations, mel lens)
             return preds[1], preds[2], preds[7]
 
-        self._tf = jax.jit(lambda b: forward(b, True))
-        self._free = jax.jit(lambda b: forward(b, False))
+        jtf = jax.jit(lambda v, e, b: forward(v, e, b, True))
+        jfree = jax.jit(lambda v, e, b: forward(v, e, b, False))
+        self._tf = lambda b: jtf(self.variables, self.extractor_params, b)
+        self._free = lambda b: jfree(self.variables, self.extractor_params, b)
 
     @staticmethod
     def _arrays_only(batch: Dict) -> Dict:
@@ -123,7 +128,7 @@ class Evaluator:
         _, _, t0, t1 = process_textgrid(str(tg), sr, hop, cfg.data.sil_phones)
         ref = trim_audio(load_wav(str(wav_path), sr), t0, t1, sr)
         syn = np.asarray(
-            jax.device_get(self._voc_fn(fr_mel[None, :n_free]))
+            jax.device_get(self._voc_fn(self._voc_params, fr_mel[None, :n_free]))
         ).reshape(-1)
         out = evaluate_f0_through_vocoder(cfg, ref, syn)
         return out
