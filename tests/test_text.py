@@ -161,3 +161,18 @@ def test_user_lexicon_overrides_bundled(tmp_path):
     assert g2p.word_to_phonemes("hello") == ["HH", "EH1", "L", "OW0"]
     # bundled entries still present for other words
     assert g2p.word_to_phonemes("world") == ["W", "ER1", "L", "D"]
+
+
+def test_lexicon_band8_broad_coverage():
+    """Band 8: broad-vocabulary scan gaps are lexicon-resident (no LTS path
+    for everyday words like these)."""
+    from emotts.text.g2p import G2P
+
+    g2p = G2P(neural=False)
+    for w in ["academic", "administration", "difference", "director", "guy",
+              "oil", "republican", "role", "rule", "weekend", "vegetable",
+              "psychology", "nuclear", "recipe", "workshop", "vulnerable"]:
+        assert w in g2p.lexicon, w
+    # interpolated morphology still composes with band-8 roots
+    assert g2p.word_to_phonemes("workshops")
+    assert g2p.word_to_phonemes("recognized")
