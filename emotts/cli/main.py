@@ -240,16 +240,9 @@ def main(argv=None) -> int:
     elif args.command == "evaluate":
         from emotts.eval.evaluate import Evaluator
 
-        voc_params = None
-        if cfg.inference.vocoder_checkpoint and os.path.exists(
-            cfg.inference.vocoder_checkpoint
-        ):
-            from emotts.infer.synthesize import load_vocoder_checkpoint
+        from emotts.infer.synthesize import maybe_load_vocoder
 
-            voc_params = load_vocoder_checkpoint(
-                cfg.inference.vocoder_checkpoint, cfg
-            )
-        report = Evaluator(cfg, vocoder_params=voc_params).run()
+        report = Evaluator(cfg, vocoder_params=maybe_load_vocoder(cfg)).run()
         overall = report["overall"]
         print(f"[evaluate] {report['n_utterances']} utterances")
         for k, v in overall.items():

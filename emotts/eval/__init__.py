@@ -2,6 +2,7 @@
 
 from emotts.eval.evaluate import Evaluator
 from emotts.eval.metrics import (
+    dtw_alignment,
     dtw_path,
     duration_metrics,
     f0_metrics,
@@ -11,6 +12,6 @@ from emotts.eval.metrics import (
 )
 
 __all__ = [
-    "Evaluator", "dtw_path", "duration_metrics", "f0_metrics",
+    "Evaluator", "dtw_alignment", "dtw_path", "duration_metrics", "f0_metrics",
     "mcd", "mcd_dtw", "mel_cepstra",
 ]

@@ -21,7 +21,13 @@ import numpy as np
 
 from emotts.data.datasets import FS2Dataset, collate_fs2
 from emotts.data.loader import BucketLoader
-from emotts.eval.metrics import duration_metrics, f0_metrics, mcd, mcd_dtw, mel_cepstra
+from emotts.eval.metrics import (
+    dtw_alignment,
+    duration_metrics,
+    f0_metrics,
+    mcd,
+    mel_cepstra,
+)
 from emotts.nn.length_regulator import segment_mean
 from emotts.train.checkpoint import load_best_params
 from emotts.train.fs2_trainer import (
@@ -108,13 +114,18 @@ class Evaluator:
 
     # ------------------------------------------------------------------
 
-    def _f0_row(self, batch, i: int, fr_mel, n_free: int) -> Dict:
+    def _f0_row(self, batch, i: int, fr_mel, n_free: int,
+                path_ref: np.ndarray, path_syn: np.ndarray) -> Dict:
         """F0 accuracy of the free-running synthesis through the vocoder vs
-        the ground-truth waveform (both tracked with the in-repo DIO chain;
-        the GT audio is trimmed to its TextGrid speech span like the
-        features were)."""
+        the ground-truth waveform, DTW-ALIGNED via the mel cepstral path
+        (frame-by-frame comparison would mostly measure duration drift —
+        same reason the free-running MCD uses DTW).  Both tracks use the
+        in-repo DIO chain; the GT audio is trimmed to its TextGrid speech
+        span like the features were.  The vocoder runs on the full
+        bucket-padded mel (one compile per frame bucket, not per length)."""
         from pathlib import Path
 
+        from emotts.audio.f0 import dio, stonemask
         from emotts.audio.textgrid import process_textgrid
         from emotts.audio.wavio import load_wav, trim_audio
 
@@ -128,10 +139,21 @@ class Evaluator:
         _, _, t0, t1 = process_textgrid(str(tg), sr, hop, cfg.data.sil_phones)
         ref = trim_audio(load_wav(str(wav_path), sr), t0, t1, sr)
         syn = np.asarray(
-            jax.device_get(self._voc_fn(self._voc_params, fr_mel[None, :n_free]))
-        ).reshape(-1)
-        out = evaluate_f0_through_vocoder(cfg, ref, syn)
-        return out
+            jax.device_get(self._voc_fn(self._voc_params, fr_mel[None]))
+        ).reshape(-1)[: n_free * hop]
+
+        def track(y):
+            f0, times = dio(y.astype(np.float64), sr,
+                            frame_period=hop / sr * 1000.0)
+            return stonemask(y.astype(np.float64), f0, times, sr)
+
+        f0_ref, f0_syn = track(ref), track(syn)
+        if len(f0_ref) == 0 or len(f0_syn) == 0:
+            return {}
+        pi = np.clip(path_ref, 0, len(f0_ref) - 1)
+        pj = np.clip(path_syn, 0, len(f0_syn) - 1)
+        rmse, vuv = f0_metrics(f0_ref[pi], f0_syn[pj])
+        return {"f0_rmse_hz": rmse, "vuv_error_rate": vuv}
 
     def run(self, split: str = "valid", max_batches: Optional[int] = None,
             out_path: Optional[str] = None, f0_max_utts: int = 32) -> Dict:
@@ -148,6 +170,7 @@ class Evaluator:
             drop_last=False,
         )
         per_utt = []
+        n_f0 = 0  # F0 rows actually produced (the f0_max_utts budget)
         for bi, batch in enumerate(loader.epoch(0)):
             if max_batches is not None and bi >= max_batches:
                 break
@@ -179,14 +202,18 @@ class Evaluator:
                     "duration_total_rel_err": rel,
                 }
                 if n_free > 0:
-                    row["mcd_dtw_free_running"] = mcd_dtw(
+                    path_ref, path_syn, dtw_val = dtw_alignment(
                         ref, np.asarray(fr_mel[i, :n_free])
                     )
-                    if self._voc_fn is not None and len(per_utt) < f0_max_utts:
-                        row.update(
-                            self._f0_row(batch, i, np.asarray(fr_mel[i]),
-                                         n_free)
+                    row["mcd_dtw_free_running"] = dtw_val
+                    if self._voc_fn is not None and n_f0 < f0_max_utts:
+                        f0_row = self._f0_row(
+                            batch, i, np.asarray(fr_mel[i]), n_free,
+                            path_ref, path_syn,
                         )
+                        if f0_row:
+                            n_f0 += 1
+                        row.update(f0_row)
                 per_utt.append(row)
 
         report = aggregate(per_utt)

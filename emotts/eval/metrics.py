@@ -73,10 +73,13 @@ def dtw_path(
     return np.asarray(path_i[::-1]), np.asarray(path_j[::-1])
 
 
-def mcd_dtw(ref_log_mel: np.ndarray, syn_log_mel: np.ndarray,
-            n_coeffs: int = 13) -> float:
-    """DTW-aligned MCD for sequences of different length (predicted-duration
-    synthesis)."""
+def dtw_alignment(
+    ref_log_mel: np.ndarray, syn_log_mel: np.ndarray, n_coeffs: int = 13
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """DTW over mel-cepstra: (ref frame indices, syn frame indices, MCD dB).
+
+    The frame path is reusable for aligning any other frame-synchronous
+    track (e.g. F0 — same hop) between the two sequences."""
     rc = mel_cepstra(ref_log_mel, n_coeffs)
     sc = mel_cepstra(syn_log_mel, n_coeffs)
     # vectorized pairwise Euclidean distances
@@ -87,7 +90,14 @@ def mcd_dtw(ref_log_mel: np.ndarray, syn_log_mel: np.ndarray,
     )
     cost = np.sqrt(np.maximum(sq, 0.0))
     pi, pj = dtw_path(cost)
-    return float(_MCD_SCALE * cost[pi, pj].mean())
+    return pi, pj, float(_MCD_SCALE * cost[pi, pj].mean())
+
+
+def mcd_dtw(ref_log_mel: np.ndarray, syn_log_mel: np.ndarray,
+            n_coeffs: int = 13) -> float:
+    """DTW-aligned MCD for sequences of different length (predicted-duration
+    synthesis)."""
+    return dtw_alignment(ref_log_mel, syn_log_mel, n_coeffs)[2]
 
 
 def f0_metrics(

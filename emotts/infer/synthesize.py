@@ -336,9 +336,11 @@ class Synthesizer:
                 )
 
         gap = np.zeros(int(gap_s * cfg.audio.sampling_rate), np.float32)
+        parts_by_request: list = [[] for _ in requests]
+        for r_i, s_i, *_ in segs:  # segs is ordered by (request, sentence)
+            parts_by_request[r_i].append(pieces[(r_i, s_i)])
         out = []
-        for r_i in range(len(requests)):
-            parts = [pieces[k] for k in sorted(p for p in pieces if p[0] == r_i)]
+        for parts in parts_by_request:
             chunks: list = []
             for i, piece in enumerate(parts):
                 if i:
@@ -368,8 +370,6 @@ class Synthesizer:
         fastspeech2/inference.py:55): arbitrary-length input runs in
         O(#buckets) device dispatches instead of O(#sentences).
         """
-        if self._voc_fn is None:
-            raise RuntimeError("synthesize_text requires vocoder params")
         return self.synthesize_requests(
             [{
                 "text": text, "speaker": speaker_id, "emotion": emotion_id,
@@ -415,11 +415,29 @@ def load_synthesizer(cfg: Config, fs2_exp: Optional[str] = None,
     intensity_path = os.path.join(rank_exp, "intensity.npy")
     bank = np.load(intensity_path) if os.path.exists(intensity_path) else None
 
-    voc_params = None
+    return Synthesizer(
+        cfg, fs2_vars, maybe_load_vocoder(cfg), bank, mesh=mesh
+    )
+
+
+def maybe_load_vocoder(cfg: Config):
+    """Load ``cfg.inference.vocoder_checkpoint`` if configured, warning
+    (rather than silently degrading) when the configured path is missing.
+    Returns None when no vocoder is configured/available."""
     ckpt = cfg.inference.vocoder_checkpoint
-    if ckpt and os.path.exists(ckpt):
-        voc_params = load_vocoder_checkpoint(ckpt, cfg)
-    return Synthesizer(cfg, fs2_vars, voc_params, bank, mesh=mesh)
+    if not ckpt:
+        return None
+    if not os.path.exists(ckpt):
+        import sys
+
+        print(
+            f"[vocoder] WARNING: inference.vocoder_checkpoint={ckpt!r} does "
+            "not exist — continuing without a vocoder (mel-only outputs, no "
+            "F0 metrics)",
+            file=sys.stderr,
+        )
+        return None
+    return load_vocoder_checkpoint(ckpt, cfg)
 
 
 def load_vocoder_checkpoint(path: str, cfg: Config) -> dict:

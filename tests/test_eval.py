@@ -107,7 +107,6 @@ def test_evaluator_end_to_end(tmp_path):
     cfg.mesh.data_parallel = 1
     cfg.inference.rank_exp = cfg.inference.fs2_exp = "exp_1"
     cfg_path = str(tmp_path / "cfg.yaml")
-    save_config(cfg, cfg_path)
 
     # tiny vocoder npz so the F0-through-vocoder metrics activate
     import jax
