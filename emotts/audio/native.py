@@ -56,8 +56,48 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64,
         ctypes.c_int64,
     ]
+    if hasattr(lib, "emotts_dtw_path"):  # absent in pre-round-2 builds
+        lib.emotts_dtw_path.restype = ctypes.c_int64
+        lib.emotts_dtw_path.argtypes = [
+            ctypes.POINTER(ctypes.c_double),  # cost (t1*t2 row-major)
+            ctypes.c_int64,  # t1
+            ctypes.c_int64,  # t2
+            ctypes.POINTER(ctypes.c_int32),  # path_i out
+            ctypes.POINTER(ctypes.c_int32),  # path_j out
+            ctypes.c_int64,  # max_path
+        ]
     _lib = lib
     return lib
+
+
+def have_native_dtw() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "emotts_dtw_path")
+
+
+def dtw_path_native(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Minimal-cost monotonic DTW path via the C++ extension.
+
+    Same contract as emotts.eval.metrics.dtw_path: (idx_ref, idx_syn)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "emotts_dtw_path"):
+        raise RuntimeError("native DTW not built (run `make -C native`)")
+    c = np.ascontiguousarray(cost, dtype=np.float64)
+    t1, t2 = c.shape
+    max_path = t1 + t2
+    pi = np.empty(max_path, dtype=np.int32)
+    pj = np.empty(max_path, dtype=np.int32)
+    n = lib.emotts_dtw_path(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        t1,
+        t2,
+        pi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        pj.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        max_path,
+    )
+    if n < 0:
+        raise RuntimeError("native DTW failed")
+    return pi[:n].astype(np.int64), pj[:n].astype(np.int64)
 
 
 def build_native(verbose: bool = False) -> bool:

@@ -158,7 +158,9 @@ def main(argv=None) -> int:
                 cfg.inference.vocoder_checkpoint, cfg
             )
             vocoder = HiFiGANGenerator(
-                **generator_structure_from_params(vocoder_params)
+                **generator_structure_from_params(
+                    vocoder_params, expected_upsample=cfg.audio.hop_length
+                )
             )
         exp = FS2Trainer(
             cfg,

@@ -74,8 +74,9 @@ class BucketLoader:
         # shardable over a multi-device data axis without dropping data.
         # Full batches are never padded: batch_size itself must already be
         # divisible (asserted below) or sharding would reject every batch.
-        # A duplicated example biases the final batch's mean metrics
-        # slightly; the alternative (dropping eval rows) loses data.
+        # Duplicated rows are flagged via the per-batch ``row_valid`` mask
+        # (0.0 on padding rows) so eval reductions stay unbiased and
+        # topology-independent.
         self.pad_to_multiple = max(1, pad_to_multiple)
         if self.pad_to_multiple > 1:
             assert batch_size % self.pad_to_multiple == 0, (
@@ -136,11 +137,21 @@ class BucketLoader:
         # bucket decided from the FULL (global) batch so every process
         # traces the same shapes, THEN this process loads only its rows
         bucket = self._bucket_of(max(self._lengths[i] for i in idxs))
+        # pre-pad chunks hold unique indices (a shuffled permutation slice);
+        # pad_to_multiple appends cyclic duplicates at the END, so the valid
+        # prefix length is exactly the unique-index count
+        n_valid = len(set(idxs))
+        row_valid = np.zeros(len(idxs), dtype=np.float32)
+        row_valid[:n_valid] = 1.0
         if self.process_count > 1:
             per = len(idxs) // self.process_count
-            idxs = idxs[self.process_index * per : (self.process_index + 1) * per]
+            lo = self.process_index * per
+            idxs = idxs[lo : lo + per]
+            row_valid = row_valid[lo : lo + per]
         examples = [self.dataset[i] for i in idxs]
-        return self.collate(examples, bucket)
+        batch = self.collate(examples, bucket)
+        batch["row_valid"] = row_valid
+        return batch
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         """Yield collated batches with background prefetch."""

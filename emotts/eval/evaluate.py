@@ -57,7 +57,9 @@ class Evaluator:
             )
 
             voc = HiFiGANGenerator(
-                **generator_structure_from_params(vocoder_params)
+                **generator_structure_from_params(
+                    vocoder_params, expected_upsample=cfg.audio.hop_length
+                )
             )
             self._voc_fn = jax.jit(lambda params, mel: voc.apply(params, mel))
         fs2_exp = fs2_exp or os.path.join(

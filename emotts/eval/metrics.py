@@ -42,21 +42,32 @@ def mcd(ref_ceps: np.ndarray, syn_ceps: np.ndarray) -> float:
     return float(_MCD_SCALE * d.mean())
 
 
-def dtw_path(
-    cost: np.ndarray,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Minimal-cost monotonic path through a (T₁, T₂) cost matrix.
+def _dtw_accumulate(cost: np.ndarray) -> np.ndarray:
+    """Anti-diagonal vectorized DTW accumulation (numpy fallback path).
 
-    Returns (idx_ref, idx_syn) index arrays of equal length."""
+    Cells along the anti-diagonal i+j=k depend only on diagonals k-1 and
+    k-2, so the O(T₁·T₂) recurrence runs as T₁+T₂ vectorized sweeps instead
+    of a per-cell Python loop (~100× at utterance scale)."""
     t1, t2 = cost.shape
     acc = np.full((t1 + 1, t2 + 1), np.inf)
     acc[0, 0] = 0.0
-    for i in range(1, t1 + 1):
-        row = cost[i - 1]
-        prev = acc[i - 1]
-        cur = acc[i]
-        for j in range(1, t2 + 1):
-            cur[j] = row[j - 1] + min(prev[j - 1], prev[j], cur[j - 1])
+    for k in range(2, t1 + t2 + 2):
+        lo = max(1, k - t2)
+        hi = min(t1, k - 1)
+        if lo > hi:
+            continue
+        i = np.arange(lo, hi + 1)
+        j = k - i
+        best = np.minimum(
+            acc[i - 1, j - 1], np.minimum(acc[i - 1, j], acc[i, j - 1])
+        )
+        acc[i, j] = cost[i - 1, j - 1] + best
+    return acc
+
+
+def _dtw_backtrack(
+    acc: np.ndarray, t1: int, t2: int
+) -> Tuple[np.ndarray, np.ndarray]:
     i, j = t1, t2
     path_i, path_j = [], []
     while i > 0 and j > 0:
@@ -71,6 +82,22 @@ def dtw_path(
         else:
             j -= 1
     return np.asarray(path_i[::-1]), np.asarray(path_j[::-1])
+
+
+def dtw_path(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Minimal-cost monotonic path through a (T₁, T₂) cost matrix.
+
+    Returns (idx_ref, idx_syn) index arrays of equal length.  Dispatches to
+    the native C++ routine (native/dtw.cc) when built; otherwise runs the
+    anti-diagonal vectorized numpy sweep — both implement identical
+    accumulation and argmin-tie backtracking semantics."""
+    from emotts.audio import native as _native
+
+    if _native.have_native_dtw():
+        return _native.dtw_path_native(cost)
+    t1, t2 = cost.shape
+    acc = _dtw_accumulate(np.asarray(cost, dtype=np.float64))
+    return _dtw_backtrack(acc, t1, t2)
 
 
 def dtw_alignment(

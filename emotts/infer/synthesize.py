@@ -67,7 +67,7 @@ class Synthesizer:
                 from emotts.nn.hifigan import generator_structure_from_params
 
                 vocoder_structure = generator_structure_from_params(
-                    vocoder_params
+                    vocoder_params, expected_upsample=cfg.audio.hop_length
                 )
             self.vocoder = HiFiGANGenerator(**vocoder_structure)
         else:

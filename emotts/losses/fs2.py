@@ -30,11 +30,16 @@ from emotts.utils.config import LossConfig
 
 
 def _masked_per_sample_mse(
-    pred: jnp.ndarray, target: jnp.ndarray, valid: jnp.ndarray
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    valid: jnp.ndarray,
+    row_weights: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Per-sample masked MSE, then batch mean.
+    """Per-sample masked MSE, then batch mean (optionally row-weighted).
 
-    pred/target: (B, T) or (B, T, C); valid: (B, T) bool."""
+    pred/target: (B, T) or (B, T, C); valid: (B, T) bool;
+    row_weights: optional (B,) — masks rows out of the batch mean (eval
+    batches padded by BucketLoader's pad_to_multiple)."""
     if pred.ndim == 3:
         mask = valid[..., None].astype(pred.dtype)
         per_elem = (pred - target) ** 2 * mask
@@ -45,7 +50,10 @@ def _masked_per_sample_mse(
         per_elem = (pred - target) ** 2 * mask
         denom = valid.sum(axis=1).astype(pred.dtype)
         per_sample = per_elem.sum(axis=1) / jnp.maximum(denom, 1.0)
-    return per_sample.mean()
+    if row_weights is None:
+        return per_sample.mean()
+    w = row_weights.astype(per_sample.dtype)
+    return (per_sample * w).sum() / jnp.maximum(w.sum(), 1.0)
 
 
 def _gaussian_1d(size: int = 11, sigma: float = 1.5) -> np.ndarray:
@@ -104,9 +112,14 @@ _SSIM_KERNEL = _gaussian_1d()
 
 
 def ssim_loss(
-    pred: jnp.ndarray, target: jnp.ndarray, valid: jnp.ndarray
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    valid: jnp.ndarray,
+    row_weights: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """1 − masked-mean SSIM over (B, T, n_mels) mels, clamped to [0, 1]."""
+    if row_weights is not None:
+        valid = valid & (row_weights[:, None] > 0)
     kernel = jnp.asarray(_SSIM_KERNEL, pred.dtype)
     x = _sample_minmax_norm(pred, valid)
     y = _sample_minmax_norm(target, valid)
@@ -124,6 +137,7 @@ def fs2_loss(
     mel_len: jnp.ndarray,  # (B,)
     phon_len: jnp.ndarray,  # (B,)
     cfg: Optional[LossConfig] = None,
+    row_weights: Optional[jnp.ndarray] = None,  # (B,) eval row mask
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     cfg = cfg or LossConfig()
     (
@@ -142,24 +156,28 @@ def fs2_loss(
     frame_valid = jnp.arange(t)[None, :] < mel_len[:, None]
     phone_valid = jnp.arange(p)[None, :] < phon_len[:, None]
 
-    mel_l = _masked_per_sample_mse(mel_out, mel_target, frame_valid)
-    postnet_l = _masked_per_sample_mse(postnet_mel_out, mel_target, frame_valid)
+    mel_l = _masked_per_sample_mse(mel_out, mel_target, frame_valid, row_weights)
+    postnet_l = _masked_per_sample_mse(
+        postnet_mel_out, mel_target, frame_valid, row_weights
+    )
 
     log_tgt_dur = (
         jnp.log1p(target_durations.astype(jnp.float32))
         if cfg.log_scale_durations
         else target_durations.astype(jnp.float32)
     )
-    dur_l = _masked_per_sample_mse(log_durations, log_tgt_dur, phone_valid)
+    dur_l = _masked_per_sample_mse(
+        log_durations, log_tgt_dur, phone_valid, row_weights
+    )
 
     pitch_l = _masked_per_sample_mse(
-        pred_pitch[..., 0], avg_pitch[..., 0], phone_valid
+        pred_pitch[..., 0], avg_pitch[..., 0], phone_valid, row_weights
     )
     energy_l = _masked_per_sample_mse(
-        pred_energy[..., 0], avg_energy[..., 0], phone_valid
+        pred_energy[..., 0], avg_energy[..., 0], phone_valid, row_weights
     )
 
-    ssim_l = ssim_loss(mel_out, mel_target, frame_valid)
+    ssim_l = ssim_loss(mel_out, mel_target, frame_valid, row_weights)
 
     total = (
         ssim_l * cfg.ssim_loss_weight

@@ -17,18 +17,25 @@ import jax.numpy as jnp
 def discriminator_loss(
     real_outs: List[jnp.ndarray], fake_outs: List[jnp.ndarray]
 ) -> jnp.ndarray:
-    """Σ_d  E[(1 − D_d(y))²] + E[D_d(ŷ)²]  (LSGAN; ŷ detached by the caller)."""
+    """Σ_d  E[(1 − D_d(y))²] + E[D_d(ŷ)²]  (LSGAN; ŷ detached by the caller).
+
+    Discriminator outputs arrive in the compute dtype (bf16 by default);
+    the squared terms reduce in f32 so the adversarial loss and its
+    gradients keep full precision (same convention as
+    feature_matching_loss)."""
     loss = 0.0
     for r, f in zip(real_outs, fake_outs):
+        r = r.astype(jnp.float32)
+        f = f.astype(jnp.float32)
         loss += jnp.mean(jnp.square(1.0 - r)) + jnp.mean(jnp.square(f))
     return loss
 
 
 def generator_adversarial_loss(fake_outs: List[jnp.ndarray]) -> jnp.ndarray:
-    """Σ_d  E[(1 − D_d(ŷ))²]."""
+    """Σ_d  E[(1 − D_d(ŷ))²]  (reduced in f32, as above)."""
     loss = 0.0
     for f in fake_outs:
-        loss += jnp.mean(jnp.square(1.0 - f))
+        loss += jnp.mean(jnp.square(1.0 - f.astype(jnp.float32)))
     return loss
 
 

@@ -21,35 +21,49 @@ import jax.numpy as jnp
 import optax
 
 
+def _wmean(x: jnp.ndarray, w) -> jnp.ndarray:
+    """Batch mean, optionally weighted by a (B,) row mask/weight vector."""
+    if w is None:
+        return x.mean()
+    w = w.astype(x.dtype)
+    return (x * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+
 def rank_loss(
     predictions: Tuple[jnp.ndarray, ...],
     y_emo: jnp.ndarray,
     alpha: float = 0.1,
     beta: float = 1.0,
+    row_weights: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """predictions = (λ_i, λ_j, I_i, I_j, h_i, h_j, r_i, r_j); y_neu ≡ 0
-    (neutral is class 0, reference rank_model/train.py:32)."""
+    (neutral is class 0, reference rank_model/train.py:32).
+
+    ``row_weights`` (optional, (B,)) masks rows out of every batch
+    reduction — used by eval so rows duplicated by BucketLoader's
+    pad_to_multiple don't bias validation metrics."""
     lam_i, lam_j, _, _, hi, hj, ri, rj = predictions
     lam_i = lam_i.reshape(-1)  # (B,)
     lam_j = lam_j.reshape(-1)
     y_neu = jnp.zeros_like(y_emo)
 
     ce = optax.softmax_cross_entropy_with_integer_labels
-    ce_i_emo = ce(hi, y_emo).mean()
-    ce_i_neu = ce(hi, y_neu).mean()
-    ce_j_emo = ce(hj, y_emo).mean()
-    ce_j_neu = ce(hj, y_neu).mean()
+    ce_i_emo = _wmean(ce(hi, y_emo), row_weights)
+    ce_i_neu = _wmean(ce(hi, y_neu), row_weights)
+    ce_j_emo = _wmean(ce(hj, y_emo), row_weights)
+    ce_j_neu = _wmean(ce(hj, y_neu), row_weights)
 
     li = lam_i * ce_i_emo + (1.0 - lam_i) * ce_i_neu  # (B,)
     lj = lam_j * ce_j_emo + (1.0 - lam_j) * ce_j_neu
-    l_mixup = (li + lj).mean()
+    l_mixup = _wmean(li + lj, row_weights)
 
     pij = 1.0 / (1.0 + jnp.exp(-(ri - rj)))  # σ(r_i − r_j)
     lam_diff = (lam_i - lam_j + 1.0) / 2.0
     eps = 1e-8
-    l_rank = -(
-        lam_diff * jnp.log(pij + eps) + (1.0 - lam_diff) * jnp.log(1.0 - pij + eps)
-    ).mean()
+    l_rank = -_wmean(
+        lam_diff * jnp.log(pij + eps) + (1.0 - lam_diff) * jnp.log(1.0 - pij + eps),
+        row_weights,
+    )
 
     total = alpha * l_mixup + beta * l_rank
     return total, {"loss": total, "mixup_loss": l_mixup, "rank_loss": l_rank}

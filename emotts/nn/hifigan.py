@@ -25,7 +25,7 @@ params.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -331,7 +331,9 @@ def convert_torch_state_dict(
     return {"params": params}
 
 
-def generator_structure_from_params(variables: Dict) -> Dict:
+def generator_structure_from_params(
+    variables: Dict, expected_upsample: Optional[int] = None
+) -> Dict:
     """Infer HiFiGANGenerator constructor kwargs from a (converted) params
     dict, so any V1/V2/V3-family checkpoint loads without hand-set config
     (the reference hard-codes the V1 16 kHz model, fastspeech2/train.py:225).
@@ -339,6 +341,12 @@ def generator_structure_from_params(variables: Dict) -> Dict:
     Upsample rates follow the HiFi-GAN convention rate = kernel // 2; conv
     dilations are not recoverable from weight shapes and default to the
     paper's (1, 3, 5, 7)[:n] per resblock conv.
+
+    ``expected_upsample`` (normally the mel hop length) validates the
+    inference: a checkpoint whose transposed-conv kernels deviate from the
+    kernel=2·rate convention would otherwise load silently into a
+    wrong-architecture generator.  Pass an explicit ``vocoder_structure``
+    to Synthesizer for such checkpoints.
     """
     p = variables.get("params", variables)
     in_ch = int(p["conv_pre_kernel"].shape[1])
@@ -346,6 +354,17 @@ def generator_structure_from_params(variables: Dict) -> Dict:
     n_ups = len([k for k in p if k.startswith("up_") and k.endswith("_kernel")])
     up_kernels = tuple(int(p[f"up_{i}_kernel"].shape[0]) for i in range(n_ups))
     up_rates = tuple(k // 2 for k in up_kernels)
+    if expected_upsample is not None:
+        total = 1
+        for r in up_rates:
+            total *= r
+        if total != expected_upsample:
+            raise ValueError(
+                f"inferred upsample rates {up_rates} (total {total}) do not "
+                f"reproduce the expected hop length {expected_upsample}; the "
+                "checkpoint deviates from the kernel=2*rate HiFi-GAN "
+                "convention — pass an explicit vocoder_structure"
+            )
     n_kernels = len(
         {k.split("_")[2] for k in p if k.startswith("resblock_0_")}
     )

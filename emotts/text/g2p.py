@@ -145,6 +145,31 @@ _SIBILANT = {"S", "Z", "SH", "ZH", "CH", "JH"}
 # packaged default lexicon (band-curated CMUdict-format vocabulary)
 BUNDLED_LEXICON = str(Path(__file__).parent / "data" / "lexicon_en.dict")
 
+# stress-neutral derivational suffixes: phonetic concatenation onto the
+# base pronunciation (careful, hopeless, payment, neighborhood, friendship)
+_NEUTRAL_SUFFIXES = (
+    ("ful", ["F", "AH0", "L"]),
+    ("less", ["L", "AH0", "S"]),
+    ("ment", ["M", "AH0", "N", "T"]),
+    ("hood", ["HH", "UH2", "D"]),
+    ("ship", ["SH", "IH2", "P"]),
+)
+
+# stress-neutral prefixes (secondary stress on heavy prefixes, reduced on
+# light ones — CMUdict convention: overlook OW2 V ER0 L UH1 K,
+# understand AH2 N D ER0 ..., distrust D IH0 S ..., preheat P R IY0 ...)
+_NEUTRAL_PREFIXES = (
+    ("under", ["AH2", "N", "D", "ER0"]),
+    ("over", ["OW2", "V", "ER0"]),
+    ("non", ["N", "AA2", "N"]),
+    ("out", ["AW2", "T"]),
+    ("dis", ["D", "IH0", "S"]),
+    ("mis", ["M", "IH0", "S"]),
+    ("pre", ["P", "R", "IY0"]),
+    ("un", ["AH0", "N"]),
+    ("re", ["R", "IY0"]),
+)
+
 
 def _strip_stressless(ph: str) -> str:
     return ph.rstrip("012")
@@ -298,9 +323,24 @@ class G2P:
             b = base(degem, stem + "e", stem)
             if b:
                 return b + ["AH0", "S", "T"]
-        for prefix, ph in (("un", ["AH0", "N"]), ("re", ["R", "IY0"]), ("non", ["N", "AA2", "N"])):
+        # neutral suffixes: plain phonetic concatenation, no stress shift
+        # (careful=care+ful, payment=pay+ment, neighborhood, friendship, ...)
+        for suffix, ph in _NEUTRAL_SUFFIXES:
+            if word.endswith(suffix) and len(word) > len(suffix) + 2:
+                b = base(word[: -len(suffix)])
+                if b:
+                    return b + ph
+        # e-drop suffixes: usable=use+able, childish=child+ish
+        for suffix, ph in (("able", ["AH0", "B", "AH0", "L"]), ("ish", ["IH0", "SH"])):
+            if word.endswith(suffix) and len(word) > len(suffix) + 1:
+                stem = word[: -len(suffix)]
+                degem = stem[:-1] if len(stem) > 2 and stem[-1] == stem[-2] else None
+                b = base(degem, stem + "e", stem)
+                if b:
+                    return b + ph
+        for prefix, ph in _NEUTRAL_PREFIXES:
             if word.startswith(prefix) and len(word) > len(prefix) + 2:
-                b = base(word[len(prefix):])
+                b = base(word[len(prefix) :])
                 if b:
                     return ph + b
         return None

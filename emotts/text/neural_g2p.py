@@ -23,7 +23,7 @@ to blas reduction order.
 
 from __future__ import annotations
 
-from functools import lru_cache
+from collections import OrderedDict
 from pathlib import Path
 from typing import Dict, List, Optional
 
@@ -372,20 +372,30 @@ class NeuralG2P:
             for k in data.files
             if not k.startswith("__")
         }
+        # per-instance decode cache (a class-level @lru_cache would key on
+        # self and pin every instance + its params for process lifetime)
+        self._cache: "OrderedDict[str, Optional[tuple]]" = OrderedDict()
+        self._cache_max = 4096
 
     @staticmethod
     def available(weights_path: str = BUNDLED_WEIGHTS) -> bool:
         return Path(weights_path).exists()
 
-    @lru_cache(maxsize=4096)
     def _decode_cached(self, word: str) -> Optional[tuple]:
+        cache = self._cache
+        if word in cache:
+            cache.move_to_end(word)
+            return cache[word]
         ids = encode_word(word)
-        if ids is None:
-            return None
-        out = np_greedy_decode(self.params, ids)
-        if not out:
-            return None
-        return tuple(decode_phoneme_ids(out))
+        res: Optional[tuple] = None
+        if ids is not None:
+            out = np_greedy_decode(self.params, ids)
+            if out:
+                res = tuple(decode_phoneme_ids(out))
+        cache[word] = res
+        if len(cache) > self._cache_max:
+            cache.popitem(last=False)
+        return res
 
     def word_to_phonemes(self, word: str) -> Optional[List[str]]:
         res = self._decode_cached(word.lower())

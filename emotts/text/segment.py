@@ -16,6 +16,10 @@ from typing import List
 
 _TERMINAL = re.compile(r"([.!?;]+)[\"')\]]*(\s+|$)")
 
+# dotted acronyms like "u.s", "e.g", "p.m" (the final "." is the terminal
+# match itself) — treated as mid-sentence, same as single-letter initials
+_DOTTED_ACRONYM = re.compile(r"([a-z]\.)+[a-z]?$")
+
 _ABBREVIATIONS = {
     "mr", "mrs", "ms", "dr", "prof", "rev", "gen", "col", "capt", "sgt",
     "st", "mt", "ft", "etc", "vs", "eg", "ie", "cf", "al", "jr", "sr",
@@ -38,6 +42,8 @@ def split_sentences(text: str) -> List[str]:
             # single-letter initial ("J. R. Tolkien") — but NOT the pronoun
             # "I", which commonly ends a sentence ("So did I.")
             or (len(last) == 1 and last.isalpha() and last != "i")
+            # multi-letter dotted acronym ("The U.S. economy grew.")
+            or _DOTTED_ACRONYM.fullmatch(last) is not None
         ):
             continue  # abbreviation or initial, not a boundary
         seg = text[start : m.end()].strip()

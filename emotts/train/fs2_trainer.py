@@ -202,6 +202,9 @@ class FS2Trainer:
                 rep,
                 max_mel_len=batch["mel"].shape[1],
             )
+            # row_valid masks rows duplicated by the loader's
+            # pad_to_multiple out of the eval reductions (unbiased,
+            # topology-independent validation loss)
             _, metrics = fs2_loss(
                 preds,
                 batch["mel"],
@@ -209,6 +212,7 @@ class FS2Trainer:
                 batch["mel_len"],
                 batch["phon_len"],
                 loss_cfg,
+                row_weights=batch.get("row_valid"),
             )
             return metrics, preds[0]
 
@@ -277,7 +281,11 @@ class FS2Trainer:
         for batch in loader.epoch(epoch):
             db = shard_batch(self.mesh, self._device_batch(batch))
             metrics, mel_pred = self._eval_step(self.state, self.extractor_params, db)
-            avg.update(jax.device_get(metrics))
+            rv = batch.get("row_valid")
+            avg.update(
+                jax.device_get(metrics),
+                weight=float(rv.sum()) if rv is not None else 1.0,
+            )
             if exp_path and not plotted and epoch % plot_every == 0:
                 mels_dir = Path(exp_path) / "mels"
                 mels_dir.mkdir(exist_ok=True)

@@ -46,16 +46,20 @@ class MetricsWriter:
 
 
 class EpochAverager:
-    """Accumulate per-batch loss dicts into epoch means."""
+    """Accumulate per-batch loss dicts into epoch means.
+
+    ``weight`` (default 1.0) weights a batch's contribution — eval loops
+    pass the batch's valid-row count so a padded trailing batch doesn't
+    count as much as a full one and epoch means stay topology-independent."""
 
     def __init__(self):
         self._sums = defaultdict(float)
-        self._n = 0
+        self._n = 0.0
 
-    def update(self, values: Dict[str, float]) -> None:
+    def update(self, values: Dict[str, float], weight: float = 1.0) -> None:
         for k, v in values.items():
-            self._sums[k] += float(v)
-        self._n += 1
+            self._sums[k] += float(v) * weight
+        self._n += weight
 
     def means(self) -> Dict[str, float]:
         if self._n == 0:

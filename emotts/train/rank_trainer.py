@@ -121,7 +121,13 @@ class RankTrainer:
                 batch["lengths"],
                 lambdas,
             )
-            _, metrics = rank_loss(preds, batch["emotions"], alpha, beta)
+            # row_valid masks rows duplicated by the loader's
+            # pad_to_multiple out of the eval reductions (unbiased,
+            # topology-independent validation loss)
+            _, metrics = rank_loss(
+                preds, batch["emotions"], alpha, beta,
+                row_weights=batch.get("row_valid"),
+            )
             return metrics, preds[4]  # pooled h_i
 
         # out_shardings pinned to the input layout: without it, a size-1
@@ -175,11 +181,14 @@ class RankTrainer:
         for batch in loader.epoch(epoch):
             sharded = shard_batch(self.mesh, batch)
             metrics, h = self._eval_step(self.state.params, sharded)
-            avg.update(jax.device_get(metrics))
-            h_all.append(np.asarray(jax.device_get(h)))
-            emo_all.append(batch["emotions"])
-            spk_all.append(batch["speakers"])
-            lam_all.append(np.linspace(0, 1, len(batch["emotions"])))
+            rv = batch.get("row_valid")
+            keep = rv > 0 if rv is not None else slice(None)
+            w = float(rv.sum()) if rv is not None else 1.0
+            avg.update(jax.device_get(metrics), weight=w)
+            h_all.append(np.asarray(jax.device_get(h))[keep])
+            emo_all.append(batch["emotions"][keep])
+            spk_all.append(batch["speakers"][keep])
+            lam_all.append(np.linspace(0, 1, len(batch["emotions"]))[keep])
         means = avg.means()
         if writer is not None:
             writer.scalars(means, epoch, prefix="valid/")

@@ -56,6 +56,26 @@ def test_dtw_path_monotonic():
     assert ((np.diff(pi) + np.diff(pj)) >= 1).all()
 
 
+def test_dtw_native_and_numpy_identical():
+    """The C++ DTW (native/dtw.cc) and the anti-diagonal numpy sweep must
+    produce byte-identical paths (same accumulation + argmin-tie backtrack
+    semantics as the original per-cell dynamic program)."""
+    from emotts.audio import native
+    from emotts.eval.metrics import _dtw_accumulate, _dtw_backtrack
+
+    rng = np.random.default_rng(7)
+    for t1, t2 in [(1, 1), (5, 1), (1, 5), (37, 53), (211, 187)]:
+        cost = rng.random((t1, t2))
+        acc = _dtw_accumulate(cost)
+        pi_np, pj_np = _dtw_backtrack(acc, t1, t2)
+        assert pi_np[0] == 0 and pj_np[0] == 0
+        assert pi_np[-1] == t1 - 1 and pj_np[-1] == t2 - 1
+        if native.have_native_dtw():
+            pi_n, pj_n = native.dtw_path_native(cost)
+            assert np.array_equal(pi_np, pi_n)
+            assert np.array_equal(pj_np, pj_n)
+
+
 def test_f0_metrics():
     ref = np.array([0, 100, 110, 120, 0, 0, 130], float)
     syn = np.array([0, 102, 110, 118, 0, 140, 130], float)

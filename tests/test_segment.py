@@ -46,6 +46,17 @@ def test_empty_and_whitespace():
     assert split_sentences("   \n ") == []
 
 
+def test_dotted_acronyms_do_not_split():
+    assert split_sentences("The U.S. economy grew. Then it shrank.") == [
+        "The U.S. economy grew.",
+        "Then it shrank.",
+    ]
+    assert split_sentences("We met at 5 p.m. sharp. It was late.") == [
+        "We met at 5 p.m. sharp.",
+        "It was late.",
+    ]
+
+
 def test_pronoun_i_ends_sentence():
     # "I" is a pronoun here, not an initial — must split (review finding)
     assert split_sentences("So did I. Then we left.") == [

@@ -134,6 +134,19 @@ def test_generator_structure_inference(synth):
     w2 = np.asarray(jax.device_get(s2.vocode(mel)))
     np.testing.assert_array_equal(w1, w2)
 
+    # hop validation: matching hop passes, mismatched hop raises loudly
+    # instead of silently loading a wrong-architecture generator
+    st_ok = generator_structure_from_params(
+        s.vocoder_params, expected_upsample=cfg.audio.hop_length
+    )
+    assert st_ok["upsample_rates"] == (8, 8, 2, 2)
+    import pytest
+
+    with pytest.raises(ValueError, match="hop length"):
+        generator_structure_from_params(
+            s.vocoder_params, expected_upsample=300
+        )
+
 
 def test_long_text_synthesis(synth):
     cfg, s = synth
