@@ -21,8 +21,28 @@ from emotts.losses import rank_loss  # noqa: E402
 from emotts.nn import RankModel  # noqa: E402
 from emotts.nn.convert import rank_params_from_torch  # noqa: E402
 
-H, HEADS, LAYERS, KERNEL, N_MELS, N_EMO = 32, 2, 2, 9, 14, 3
-B, T = 3, 20
+# EMOTTS_PARITY_FULL=1 runs the same gates at PRODUCTION dims (config
+# defaults: H=384, 6 layers, k=9, 80-mel/82-ch input) via
+# tools/full_size_parity.py; the default suite stays at toy dims
+import json  # noqa: E402
+import os  # noqa: E402
+
+_FULL = os.environ.get("EMOTTS_PARITY_FULL") == "1"
+if _FULL:
+    H, HEADS, LAYERS, KERNEL, N_MELS, N_EMO = 384, 2, 6, 9, 80, 5
+    B, T = 3, 160
+    MULT = 4  # conv-FFN expansion: hidden*4 = 1536 at production dims
+else:
+    H, HEADS, LAYERS, KERNEL, N_MELS, N_EMO = 32, 2, 2, 9, 14, 3
+    B, T = 3, 20
+    MULT = 2
+
+
+def _record(test: str, **vals) -> None:
+    out = os.environ.get("EMOTTS_PARITY_OUT")
+    if out:
+        with open(out, "a") as f:
+            f.write(json.dumps({"test": test, "full": _FULL, **vals}) + "\n")
 
 
 class TLayer(tnn.Module):
@@ -32,8 +52,8 @@ class TLayer(tnn.Module):
     def __init__(self):
         super().__init__()
         self.self_attn = tnn.MultiheadAttention(H, HEADS, batch_first=True)
-        self.conv1 = tnn.Conv1d(H, H * 2, KERNEL, padding=KERNEL // 2)
-        self.conv2 = tnn.Conv1d(H * 2, H, KERNEL, padding=KERNEL // 2)
+        self.conv1 = tnn.Conv1d(H, H * MULT, KERNEL, padding=KERNEL // 2)
+        self.conv2 = tnn.Conv1d(H * MULT, H, KERNEL, padding=KERNEL // 2)
         self.norm1 = tnn.LayerNorm(H)
         self.norm2 = tnn.LayerNorm(H)
 
@@ -95,13 +115,13 @@ def setup():
     variables = jax.tree_util.tree_map(jnp.asarray, variables)
     jmodel = RankModel(
         n_mels=N_MELS, n_heads=HEADS, n_emotions=N_EMO, n_layers=LAYERS,
-        hidden_dim=H, kernel_size=KERNEL, ffn_mult=2, dropout=0.0,
+        hidden_dim=H, kernel_size=KERNEL, ffn_mult=MULT, dropout=0.0,
     )
     rng = np.random.default_rng(0)
     emo_x = rng.standard_normal((B, T, N_MELS + 2)).astype(np.float32)
     neu_x = rng.standard_normal((B, T, N_MELS + 2)).astype(np.float32)
     emotions = np.array([1, 2, 1])
-    lengths = np.array([20, 16, 12])
+    lengths = np.array([T, T * 4 // 5, T * 3 // 5])
     lambdas = np.array([[0.8, 0.5, 0.2], [0.1, 0.9, 0.6]], np.float32)
     return tmodel, jmodel, variables, (emo_x, neu_x, emotions, lengths, lambdas)
 
@@ -119,12 +139,21 @@ def test_outputs_match(setup):
         jnp.asarray(emotions), jnp.asarray(lengths), jnp.asarray(lambdas),
     )
     # frame intensities, pooled features, rank scores
+    maxes = {}
     for idx, name in [(2, "I_i"), (3, "I_j"), (4, "h_i"), (5, "h_j"),
                       (6, "r_i"), (7, "r_j")]:
+        maxes[name] = float(
+            np.abs(np.asarray(j_out[idx]) - t_out[idx].numpy()).max()
+        )
         np.testing.assert_allclose(
             np.asarray(j_out[idx]), t_out[idx].numpy(),
-            rtol=2e-4, atol=2e-5, err_msg=name,
+            rtol=2e-4, atol=1e-4 if _FULL else 2e-5, err_msg=name,
         )
+    _record(
+        "rank_outputs",
+        dims=dict(H=H, LAYERS=LAYERS, KERNEL=KERNEL, N_MELS=N_MELS, T=T),
+        max_abs=maxes,
+    )
 
 
 def test_loss_matches(setup):
@@ -153,6 +182,12 @@ def test_loss_matches(setup):
         jnp.asarray(emotions), jnp.asarray(lengths), jnp.asarray(lambdas),
     )
     j_total, _ = rank_loss(j_out, jnp.asarray(emotions), alpha=0.1, beta=1.0)
+    _record(
+        "rank_loss",
+        torch_total=float(t_total), jax_total=float(j_total),
+        rel_err=abs(float(j_total) - float(t_total))
+        / max(abs(float(t_total)), 1e-12),
+    )
     assert float(j_total) == pytest.approx(float(t_total), rel=1e-4)
 
 

