@@ -414,8 +414,13 @@ def test_import_reference_cli(tmp_path):
     from emotts.utils.config import Config, save_config
 
     cfg = Config()
-    cfg.data.speakers = ["a", "b"]
-    cfg.data.emotions = ["neutral", "amused", "angry"]
+    # speaker/emotion counts must match the torch checkpoint's N_SPK/N_EMO
+    # (speaker embedding rows; the concat projection folds
+    # intensity_dim == n_emotions into its fan-in)
+    cfg.data.speakers = ["a", "b", "c", "d"][:N_SPK]
+    cfg.data.emotions = ["neutral", "amused", "angry", "sleepy", "disgust"][
+        :N_EMO
+    ]
     cfg.data.experiment_path = str(tmp_path / "experiments")
     r = cfg.rank_model
     r.n_encoder_layers = 1
@@ -432,7 +437,7 @@ def test_import_reference_cli(tmp_path):
     f.postnet_embedding_dim = PN_DIM
     f.postnet_n_convolutions = PN_CONVS
     f.max_mel_len = 64
-    f.intensity_dim = 3
+    f.intensity_dim = N_EMO
     f.prenet_style = "embedding"
     f.postnet_style = "speechbrain"
     cfg.bucketing.phone_buckets = [16]
@@ -456,9 +461,9 @@ def test_import_reference_cli(tmp_path):
     fs2_pth = tmp_path / "fs2_best.pth"
     torch.save(rank_sd, rank_pth)
     torch.save(fs2_sd, fs2_pth)
-    bank = np.random.default_rng(3).standard_normal((2, 3, 3, 3)).astype(
-        np.float32
-    )
+    bank = np.random.default_rng(3).standard_normal(
+        (N_SPK, N_EMO, 3, N_EMO)
+    ).astype(np.float32)
     bank_path = tmp_path / "intensity.npy"
     np.save(bank_path, bank)
 
