@@ -1,0 +1,195 @@
+"""Quality-convergence campaign on the real TPU.
+
+Demonstrates that sustained FULL-SIZE training improves the framework's own
+objective metrics (the reference's only "eval" is listening to the released
+samples, readme.md:102-125; this repo has an Evaluator, so we use it):
+
+  1. synthetic corpus (3 speakers x 5 emotions) -> preprocess/splits
+  2. full-size rank model: >=1k steps
+  3. bucketize -> intensity.npy
+  4. full-size FS2: trained in stages; after EVERY stage the Evaluator runs
+     on the held-out split -> eval_stage{k}.json (MCD, DTW-MCD, duration
+     MAE/acc series)
+  5. full-size vocoder GAN (ground-truth condition): staged, mel-L1 series
+  6. final evaluate WITH the self-trained vocoder (adds F0 metrics)
+
+Outputs land under --root; the per-stage eval series is also printed as a
+summary table and written to <root>/convergence_summary.json for
+BENCH_NOTES.
+
+Run (default env, real TPU):
+    python benchmarks/convergence_run.py --root /tmp/emotts_conv
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+
+import numpy as np  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/emotts_conv")
+    ap.add_argument("--speakers", type=int, default=3)
+    ap.add_argument("--utts-per-emotion", type=int, default=12)
+    ap.add_argument("--rank-steps", type=int, default=1000)
+    ap.add_argument("--fs2-stages", default="700,700,700")
+    ap.add_argument("--voc-stages", default="1000,1000")
+    ap.add_argument("--eval-f0-utts", type=int, default=16)
+    args = ap.parse_args()
+
+    from synthetic_corpus import make_corpus
+
+    from emotts.data import (
+        build_fs2_splits,
+        build_rank_pair_lists,
+        preprocess_all,
+    )
+    from emotts.eval.evaluate import Evaluator
+    from emotts.infer.bucketize import bucketize
+    from emotts.train.fs2_trainer import (
+        FS2Trainer,
+        extractor_params_from_rank,
+    )
+    from emotts.train.rank_trainer import RankTrainer
+    from emotts.train.checkpoint import load_best_params
+    from emotts.train.rank_trainer import build_rank_model, init_rank_params
+    from emotts.train.vocoder_trainer import VocoderTrainer
+
+    root = Path(args.root)
+    root.mkdir(parents=True, exist_ok=True)
+    walls = {}
+    summary = {"stages": []}
+
+    t0 = time.time()
+    speakers = tuple(f"spk_{chr(97 + i)}" for i in range(args.speakers))
+    emotions = ("neutral", "amused", "angry", "sleepy", "disgust")
+    cfg = make_corpus(
+        str(root), speakers=speakers, emotions=emotions,
+        utts_per_emotion=args.utts_per_emotion,
+    )
+    preprocess_all(cfg, verbose=False)
+    build_rank_pair_lists(cfg)
+    build_fs2_splits(cfg)
+    walls["corpus+preprocess"] = time.time() - t0
+    print(f"[conv] corpus ready ({walls['corpus+preprocess']:.0f}s)",
+          flush=True)
+
+    # full-size models are the config defaults; disable early stopping so
+    # step budgets are exact, keep the reference batch size
+    cfg.train_rank.max_iterations = args.rank_steps
+    cfg.train_rank.n_epochs = 10 ** 6
+    cfg.train_rank.patience = 10 ** 6
+    cfg.train_fs2.n_epochs = 10 ** 6
+    cfg.train_fs2.patience = 10 ** 6
+
+    # ---- rank model ---------------------------------------------------
+    t0 = time.time()
+    rank_trainer = RankTrainer(cfg)
+    rank_exp = rank_trainer.fit(verbose=True)
+    walls[f"rank_{args.rank_steps}steps"] = time.time() - t0
+    print(f"[conv] rank done: {rank_exp} ({walls[list(walls)[-1]]:.0f}s)",
+          flush=True)
+
+    rank_template = init_rank_params(cfg, build_rank_model(cfg), 0)
+    rank_params = load_best_params(rank_exp, {"params": rank_template["params"]})
+    ext_params = extractor_params_from_rank(rank_params)
+
+    t0 = time.time()
+    cfg.inference.rank_exp = Path(rank_exp).name
+    bucketize(cfg, exp_path=rank_exp)
+    walls["bucketize"] = time.time() - t0
+
+    # ---- FS2 in stages, evaluating after each -------------------------
+    fs2_stages = [int(s) for s in args.fs2_stages.split(",") if s]
+    fs2_trainer = FS2Trainer(cfg, ext_params)
+    fs2_exp = None
+    total_steps = 0
+    for k, steps in enumerate(fs2_stages):
+        cfg.train_fs2.max_iterations = steps
+        t0 = time.time()
+        if fs2_exp is None:
+            fs2_exp = fs2_trainer.fit(verbose=False)
+        else:
+            fs2_trainer.fit(exp_path=fs2_exp, verbose=False, resume=True)
+        total_steps += steps
+        wall = time.time() - t0
+        walls[f"fs2_stage{k}"] = wall
+
+        t0 = time.time()
+        ev = Evaluator(cfg, fs2_exp=fs2_exp, rank_exp=rank_exp)
+        report = ev.run(
+            split="valid",
+            out_path=str(root / f"eval_stage{k}.json"),
+            f0_max_utts=0,
+        )
+        walls[f"eval_stage{k}"] = time.time() - t0
+        row = {
+            "stage": k,
+            "fs2_steps_total": total_steps,
+            "train_wall_s": round(wall, 1),
+            **report["overall"],
+        }
+        summary["stages"].append(row)
+        print(f"[conv] fs2 stage {k} ({total_steps} steps): "
+              + json.dumps(row), flush=True)
+
+    # ---- vocoder GAN in stages ----------------------------------------
+    voc_stages = [int(s) for s in args.voc_stages.split(",") if s]
+    voc_trainer = VocoderTrainer(cfg)
+    voc_exp = None
+    voc_steps = 0
+    for k, steps in enumerate(voc_stages):
+        t0 = time.time()
+        if voc_exp is None:
+            voc_exp = voc_trainer.fit(n_steps=steps)
+        else:
+            voc_trainer.fit(n_steps=steps, exp_path=voc_exp, resume=True)
+        voc_steps += steps
+        walls[f"voc_stage{k}"] = time.time() - t0
+        # mel-L1 series from the trainer's own metrics stream
+        lines = (Path(voc_exp) / "metrics.jsonl").read_text().splitlines()
+        mel_l1 = [json.loads(ln) for ln in lines]
+        mel_l1 = [r["value"] for r in mel_l1 if r.get("tag") == "train/mel_l1"]
+        summary.setdefault("vocoder", []).append(
+            {"stage": k, "steps_total": voc_steps,
+             "train_wall_s": round(walls[f"voc_stage{k}"], 1),
+             "mel_l1_last": mel_l1[-1] if mel_l1 else None}
+        )
+        print(f"[conv] vocoder stage {k}: mel_l1 series tail "
+              f"{mel_l1[-3:]}", flush=True)
+
+    # ---- final eval with the trained vocoder (F0 metrics) -------------
+    from emotts.infer.synthesize import load_vocoder_checkpoint
+
+    voc_params = load_vocoder_checkpoint(str(Path(voc_exp) / "vocoder.npz"),
+                                         cfg)
+    t0 = time.time()
+    ev = Evaluator(cfg, fs2_exp=fs2_exp, rank_exp=rank_exp,
+                   vocoder_params=voc_params)
+    report = ev.run(
+        split="valid",
+        out_path=str(root / "eval_final_with_vocoder.json"),
+        f0_max_utts=args.eval_f0_utts,
+    )
+    walls["eval_final"] = time.time() - t0
+    summary["final_with_vocoder"] = report["overall"]
+    summary["walls_s"] = {k: round(v, 1) for k, v in walls.items()}
+    (root / "convergence_summary.json").write_text(
+        json.dumps(summary, indent=2)
+    )
+    print("[conv] SUMMARY")
+    print(json.dumps(summary, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -54,16 +54,19 @@ def vocode_streaming(
     hop: int,
     chunk_frames: int = 64,
     halo_frames: int = DEFAULT_HALO,
+    start_frame: int = 0,
 ) -> Iterator[np.ndarray]:
     """Yield int16 PCM chunks (B, chunk·hop) left-to-right; concatenated they
     equal ``voc_fn(params, mel)`` exactly (same SAME-padding math).
 
     ``voc_fn`` is the jitted mel→PCM function (Synthesizer._voc_fn).
+    ``start_frame`` (a multiple of ``chunk_frames``) skips chunks already
+    produced elsewhere — e.g. by the fused FS2+first-window program.
     """
     if chunk_frames <= 0:
         raise ValueError("chunk_frames must be positive")
     t_total = mel.shape[1]
-    for t0 in range(0, t_total, chunk_frames):
+    for t0 in range(start_frame, t_total, chunk_frames):
         t1 = min(t0 + chunk_frames, t_total)
         lo = max(0, t0 - halo_frames)
         hi = min(t_total, t1 + halo_frames)
@@ -115,20 +118,49 @@ def stream_text(
         raise ValueError("no synthesizable sentences in text")
 
     gap = np.zeros(int(gap_s * cfg.audio.sampling_rate), np.float32)
+    # fused first window: the first chunk + its right halo vocode INSIDE the
+    # FS2 forward program, so first audio costs one dispatch round trip
+    # instead of three (mel dispatch → length fetch → vocoder dispatch)
+    window = chunk_frames + halo_frames
+    fused_ok = (
+        getattr(synth, "_first_fn", None) is not None
+        and window <= cfg.fastspeech2.max_mel_len
+    )
     for i, ids in enumerate(seqs):
         if i and gap.size:
             yield gap
         inten = synth.intensity_for(
             speaker_id, emotion_id, level, len(ids), scale=intensity_scale,
         )[None]
-        mel, lens = synth.synthesize_mels(
-            ids, np.array([speaker_id], np.int32), inten,
-            pace=pace, pitch_rate=pitch_rate, energy_rate=energy_rate,
-        )
-        n = int(np.asarray(jax.device_get(lens))[0])
+        spk = np.array([speaker_id], np.int32)
+        start = 0
+        if fused_ok:
+            pcm_w, mel, lens = synth.synthesize_first_chunk(
+                ids, spk, inten, window=window,
+                pace=pace, pitch_rate=pitch_rate, energy_rate=energy_rate,
+            )
+            pcm_w, n = jax.device_get((pcm_w, lens))
+            n = int(np.asarray(n)[0])
+            if n >= window:
+                # true left edge + full right halo inside the window: the
+                # fused PCM's first chunk is exact; stream it immediately
+                yield np.asarray(
+                    pcm_w[0, : chunk_frames * hop]
+                ).astype(np.float32) / 32767.0
+                start = chunk_frames
+            # else: content shorter than the window — the fused PCM's tail
+            # saw capacity padding instead of the true right edge; fall
+            # through and vocode the content-trimmed mel (exact)
+        else:
+            mel, lens = synth.synthesize_mels(
+                ids, spk, inten,
+                pace=pace, pitch_rate=pitch_rate, energy_rate=energy_rate,
+            )
+            n = int(np.asarray(jax.device_get(lens))[0])
         mel = mel[:, :n]
         for pcm in vocode_streaming(
             synth._voc_fn, synth.vocoder_params, mel, hop,
             chunk_frames=chunk_frames, halo_frames=halo_frames,
+            start_frame=start,
         ):
             yield pcm[0].astype(np.float32) / 32767.0

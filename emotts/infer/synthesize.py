@@ -82,6 +82,21 @@ class Synthesizer:
             static_argnames=("max_mel_len", "pace", "pitch_rate", "energy_rate"),
         )
         self._voc_fn = jax.jit(self._vocode) if vocoder_params is not None else None
+        # fused FS2-forward + first-vocoder-window program: streaming's
+        # time-to-first-audio pays ONE dispatch round trip instead of three
+        # (mel dispatch, length fetch, vocoder dispatch) — on a tunneled
+        # host↔chip link each saved trip is ~25 ms of serving latency
+        self._first_fn = (
+            jax.jit(
+                self._first_chunk,
+                static_argnames=(
+                    "max_mel_len", "pace", "pitch_rate", "energy_rate",
+                    "window",
+                ),
+            )
+            if vocoder_params is not None
+            else None
+        )
 
     # -- jitted cores ---------------------------------------------------
 
@@ -100,6 +115,20 @@ class Synthesizer:
             max_mel_len=max_mel_len,
         )
         return preds[0], preds[7]  # mel (B, T, n_mels), mel_lens (B,)
+
+    def _first_chunk(
+        self, variables, voc_params, phonemes, speakers, intensity,
+        max_mel_len, pace, pitch_rate, energy_rate, window,
+    ):
+        """FS2 forward + vocode of the first ``window`` mel frames in one XLA
+        program.  The returned mel/lens let the host continue streaming the
+        remaining chunks without re-running FastSpeech2."""
+        mel, lens = self._mel_forward(
+            variables, phonemes, speakers, intensity, max_mel_len,
+            pace, pitch_rate, energy_rate,
+        )
+        pcm = self._vocode(voc_params, mel[:, :window])
+        return pcm, mel, lens
 
     def _vocode(self, params, mel):
         wav = self.vocoder.apply(params, mel)  # (B, T·hop)
@@ -168,6 +197,22 @@ class Synthesizer:
         energy_rate: float = 1.0,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched mel synthesis with predicted durations/pitch/energy."""
+        phon, spk, inten = self._bucket_pad(phoneme_ids, speakers, intensity)
+        mel, mel_lens = self._mel_fn(
+            self.fs2_variables,
+            phon,
+            spk,
+            inten,
+            max_mel_len=self.cfg.fastspeech2.max_mel_len,
+            pace=pace,
+            pitch_rate=pitch_rate,
+            energy_rate=energy_rate,
+        )
+        return mel, mel_lens
+
+    def _bucket_pad(self, phoneme_ids, speakers, intensity):
+        """Pad one phoneme sequence + per-row conditioning to its phone
+        bucket and the mesh-even batch size; returns device-ready arrays."""
         p_bucket = pick_bucket(len(phoneme_ids), self.cfg.bucketing.phone_buckets)
         if p_bucket < 0:
             p_bucket = len(phoneme_ids)
@@ -179,17 +224,41 @@ class Synthesizer:
         spk[:b] = speakers
         inten = np.zeros((b_pad, p_bucket, intensity.shape[-1]), np.float32)
         inten[:b, : intensity.shape[1]] = intensity
-        mel, mel_lens = self._mel_fn(
-            self.fs2_variables,
+        return (
             self._put(jnp.asarray(phon)),
             self._put(jnp.asarray(spk)),
             self._put(jnp.asarray(inten)),
+        )
+
+    def synthesize_first_chunk(
+        self,
+        phoneme_ids: np.ndarray,  # (P,)
+        speakers: np.ndarray,  # (B,)
+        intensity: np.ndarray,  # (B, P, n_emo)
+        window: int,  # mel frames vocoded inside the fused program
+        pace: float = 1.0,
+        pitch_rate: float = 1.0,
+        energy_rate: float = 1.0,
+    ):
+        """One fused dispatch returning (int16 PCM of mel[:, :window], mel,
+        mel_lens).  The PCM is exact on rows whose content length ≥ window
+        (true left edge + a full right halo inside the window); shorter rows
+        must be re-vocoded content-trimmed by the caller."""
+        if self._first_fn is None:
+            raise RuntimeError("no vocoder params loaded")
+        phon, spk, inten = self._bucket_pad(phoneme_ids, speakers, intensity)
+        return self._first_fn(
+            self.fs2_variables,
+            self.vocoder_params,
+            phon,
+            spk,
+            inten,
             max_mel_len=self.cfg.fastspeech2.max_mel_len,
             pace=pace,
             pitch_rate=pitch_rate,
             energy_rate=energy_rate,
+            window=window,
         )
-        return mel, mel_lens
 
     def vocode(self, mel) -> np.ndarray:
         """mel (B, T, n_mels) → int16 PCM device array (B, T·hop).

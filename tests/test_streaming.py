@@ -69,6 +69,54 @@ def test_stream_text_matches_content_vocode(synth):  # noqa: F811
     np.testing.assert_array_equal(streamed, ref)
 
 
+def test_stream_text_fused_first_chunk_paths(synth):  # noqa: F811
+    """The fused FS2+first-window program serves the first chunk when the
+    sentence is long enough (content ≥ chunk+halo), and the short-sentence
+    fallback re-vocodes content-trimmed — both bit-equal to the reference
+    unchunked vocode."""
+    cfg, s = synth
+
+    def ref_wave(text):
+        ids = s.text_to_phoneme_ids(text)
+        inten = s.intensity_for(1, 2, 1, len(ids))[None]
+        mel, lens = s.synthesize_mels(ids, np.array([1], np.int32), inten)
+        n = int(np.asarray(lens)[0])
+        pcm = np.asarray(jax.device_get(s.vocode(mel[:, :n])))
+        return pcm[0].astype(np.float32) / 32767.0, n
+
+    calls = []
+    real_first = s.synthesize_first_chunk
+    s.synthesize_first_chunk = (  # spy: count fused dispatches
+        lambda *a, **k: calls.append(k["window"]) or real_first(*a, **k)
+    )
+    try:
+        # long path: content ≥ chunk+halo ⇒ the fused PCM serves chunk 0
+        # and vocode_streaming resumes from start_frame=chunk
+        text = "The fox ran over the hill."
+        ref, n = ref_wave(text)
+        assert n >= 4 + 16, "test premise: content must cover chunk+halo"
+        streamed = np.concatenate(
+            list(stream_text(s, text, speaker_id=1, emotion_id=2, level=1,
+                             chunk_frames=4))
+        )
+        np.testing.assert_array_equal(streamed, ref)
+        assert len(calls) == 1
+
+        # short path: window larger than the content → fused PCM discarded,
+        # content-trimmed fallback vocode (still exact, still one FS2 pass)
+        ref, n = ref_wave("Go.")
+        big = min(cfg.fastspeech2.max_mel_len, n + 64)
+        assert n < big
+        streamed = np.concatenate(
+            list(stream_text(s, "Go.", speaker_id=1, emotion_id=2, level=1,
+                             chunk_frames=big - 16, halo_frames=16))
+        )
+        np.testing.assert_array_equal(streamed, ref)
+        assert len(calls) == 2
+    finally:
+        s.synthesize_first_chunk = real_first
+
+
 def test_stream_text_multi_sentence_gaps(synth):  # noqa: F811
     cfg, s = synth
     gap = int(0.1 * cfg.audio.sampling_rate)

@@ -131,6 +131,9 @@ def train(args):
     import jax.numpy as jnp
     import optax
 
+    # the SPLIT seed stays args.seed so ensemble members trained with
+    # different --init-seed share one honest held-out set
+    init_seed = args.seed if args.init_seed is None else args.init_seed
     train_pairs, eval_pairs = build_pairs(seed=args.seed,
                                           holdout_frac=args.holdout)
     chars, dec_in, targets = vectorize(train_pairs)
@@ -140,7 +143,7 @@ def train(args):
     d_chars, d_dec_in, d_targets = (jnp.asarray(a)
                                     for a in (chars, dec_in, targets))
 
-    params = {k: jnp.asarray(v) for k, v in ng.init_params(args.seed).items()}
+    params = {k: jnp.asarray(v) for k, v in ng.init_params(init_seed).items()}
     steps_per_epoch = max(1, n // args.batch)
     total_steps = steps_per_epoch * args.epochs
     sched = optax.warmup_cosine_decay_schedule(
@@ -167,8 +170,8 @@ def train(args):
         updates, s = opt.update(g, s, p)
         return optax.apply_updates(p, updates), s, l
 
-    np_rng = np.random.default_rng(args.seed + 1)
-    rng = jax.random.PRNGKey(args.seed)
+    np_rng = np.random.default_rng(init_seed + 1)
+    rng = jax.random.PRNGKey(init_seed)
     step_keys = jax.random.split(rng, total_steps)  # pre-split: no host sync
     # stochastic weight averaging over the cosine tail: the averaged iterate
     # sits nearer the basin center than any single late-schedule point
@@ -262,6 +265,10 @@ def main():
     ap.add_argument("--label-smoothing", type=float, default=0.1)
     ap.add_argument("--holdout", type=float, default=0.1)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--init-seed", type=int, default=None,
+                    help="weight-init/order seed (default: --seed); vary "
+                    "this, not --seed, to train ensemble members that share "
+                    "one held-out split")
     ap.add_argument("--swa-frac", type=float, default=0.25,
                     help="average weights over the last FRAC of epochs")
     args = ap.parse_args()
