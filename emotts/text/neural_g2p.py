@@ -185,6 +185,35 @@ def np_greedy_decode(p: Dict[str, np.ndarray], char_ids: np.ndarray) -> List[int
     return out
 
 
+def _log_softmax(x: np.ndarray) -> np.ndarray:
+    x = x - x.max()
+    return x - np.log(np.exp(x).sum())
+
+
+def np_ensemble_greedy_decode(
+    ps: List[Dict[str, np.ndarray]], char_ids: np.ndarray
+) -> List[int]:
+    """Greedy decode under the average of the members' per-step log-probs.
+
+    Product-of-experts over independently-initialized members; degenerates
+    to ``np_greedy_decode`` for a single member (argmax of one log-softmax
+    is the argmax of its logits)."""
+    encs = [_np_encode(p, char_ids) for p in ps]
+    out: List[int] = []
+    prev = [PHON_BOS]
+    for step in range(MAX_PHON_LEN):
+        logp = sum(
+            _log_softmax(_np_step_logits(p, enc, prev))
+            for p, enc in zip(ps, encs)
+        )
+        nxt = int(np.argmax(logp))
+        if nxt == PHON_EOS or nxt == PHON_PAD:
+            break
+        out.append(nxt)
+        prev.append(nxt)
+    return out
+
+
 def np_beam_decode(
     p: Dict[str, np.ndarray], char_ids: np.ndarray, beam: int = 4
 ) -> List[int]:
@@ -361,17 +390,34 @@ class NeuralG2P:
 
     Returns ``None`` for words it cannot encode (non-alpha chars, too long)
     so the caller can fall through to the rule LTS.
+
+    ``weights_path`` may name one weight file or several (an ensemble —
+    independently-seeded members whose per-step log-probs are averaged;
+    measured +N pts held-out word-exact over one member, tools/train_g2p.py).
+    Any sibling ``<stem>.member*.npz`` files of the primary weights are
+    picked up automatically, so shipping an ensemble is just dropping the
+    member files next to ``g2p_weights.npz``.
     """
 
-    def __init__(self, weights_path: str = BUNDLED_WEIGHTS):
-        data = np.load(weights_path)
-        if int(data["__version__"][0]) != 1:
-            raise ValueError(f"unsupported g2p weights version in {weights_path}")
-        self.params = {
-            k: data[k].astype(np.float32)
-            for k in data.files
-            if not k.startswith("__")
-        }
+    def __init__(self, weights_path=BUNDLED_WEIGHTS):
+        if isinstance(weights_path, (str, Path)):
+            primary = Path(weights_path)
+            paths = [primary] + sorted(
+                primary.parent.glob(primary.stem + ".member*.npz")
+            )
+        else:
+            paths = [Path(p) for p in weights_path]
+        self.members: List[Dict[str, np.ndarray]] = []
+        for path in paths:
+            data = np.load(path)
+            if int(data["__version__"][0]) != 1:
+                raise ValueError(f"unsupported g2p weights version in {path}")
+            self.members.append({
+                k: data[k].astype(np.float32)
+                for k in data.files
+                if not k.startswith("__")
+            })
+        self.params = self.members[0]  # single-member API compat
         # per-instance decode cache (a class-level @lru_cache would key on
         # self and pin every instance + its params for process lifetime)
         self._cache: "OrderedDict[str, Optional[tuple]]" = OrderedDict()
@@ -389,7 +435,10 @@ class NeuralG2P:
         ids = encode_word(word)
         res: Optional[tuple] = None
         if ids is not None:
-            out = np_greedy_decode(self.params, ids)
+            if len(self.members) > 1:
+                out = np_ensemble_greedy_decode(self.members, ids)
+            else:
+                out = np_greedy_decode(self.params, ids)
             if out:
                 res = tuple(decode_phoneme_ids(out))
         cache[word] = res
