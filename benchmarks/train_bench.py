@@ -29,12 +29,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 _PEAK_TFLOPS = 197.0
 
 
-def _timed_steps(step, state, *args, n=20):
+def _timed_steps(step, state, *args, n=100):
     """Chain n steps through the carried state; sync once at the end.
 
     The pre-t0 step is SYNCED so its device time cannot leak into the timed
     window (an unsynced dispatch there would make every reported step ~1/n
-    slower than reality)."""
+    slower than reality).
+
+    n=100: with a short chain (n=20) the first dispatches race the device
+    through the remote tunnel and the device idles ~2 ms/step waiting for
+    the host to catch up (measured: FS2 B=8 16.9 ms at n=20 vs 14.6 ms at
+    n=200 with identical graphs).  Steady-state training dispatches
+    continuously, so the long chain is the honest number."""
     import jax
 
     state, m = step(state, *args)

@@ -68,7 +68,14 @@ class PositionalEncoding(nn.Module):
 
 
 class MultiHeadSelfAttention(nn.Module):
-    """Self-attention with key-padding masking; fp32 softmax."""
+    """Self-attention with key-padding masking; fp32 softmax.
+
+    The (B, H, T, T) probability tensor is saved for backward; an
+    attention-core ``nn.remat`` variant was measured and rejected (B=8
+    step unchanged, B=64 step +3% — the probs/mask recompute costs more
+    than the traffic it saves; study in BENCH_NOTES.md).  For memory-bound
+    scaling use ``FFTStack(remat=True)`` (whole-block rematerialization).
+    """
 
     d_model: int
     n_heads: int

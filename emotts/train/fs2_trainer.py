@@ -219,6 +219,7 @@ class FS2Trainer:
         # out_shardings pinned to the input layout — otherwise a size-1 model
         # axis canonicalizes the output specs and step 2 silently recompiles
         # (emotts.parallel.tp.state_shardings)
+        self._train_step_fn = train_step  # raw fn (benchmarks/layout probes)
         self._train_step = jax.jit(
             train_step, donate_argnums=0, out_shardings=(self._state_sh, None)
         )

@@ -169,6 +169,10 @@ class TrainConfig:
     # 'rbg' = TPU hardware RNG (fastest; streams differ across backends),
     # 'threefry2x32' = JAX default (identical streams everywhere)
     rng_impl: str = "rbg"
+    # storage dtype of the Adam moments ('float32' | 'bfloat16').  The AdamW
+    # update fusion is HBM-bound; bf16 moments cut its traffic 28->20
+    # B/param/step with fp32 math throughout (see train/state.py).
+    moment_dtype: str = "bfloat16"
     checkpoint_every_steps: int = 500
     keep_checkpoints: int = 3
     log_every_steps: int = 50
