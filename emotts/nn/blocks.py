@@ -81,6 +81,11 @@ class MultiHeadSelfAttention(nn.Module):
     n_heads: int
     dropout: float
     dtype: jnp.dtype = jnp.float32
+    # route the scores→softmax→dropout→AV core through the fused Pallas
+    # kernel (emotts.ops.attention): O(T²) tensors never touch HBM.  Param
+    # tree is identical either way; dropout streams differ (in-kernel TPU
+    # PRNG vs flax), same distribution.
+    fused: bool = False
 
     @nn.compact
     def __call__(
@@ -98,13 +103,34 @@ class MultiHeadSelfAttention(nn.Module):
         k = dense("key")(x)
         v = dense("value")(x)
 
-        scale = 1.0 / np.sqrt(d)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
-        if key_valid is not None:
-            logits = logits + attention_bias_from_mask(key_valid)
-        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        weights = nn.Dropout(rate=self.dropout)(weights, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        if self.fused:
+            from emotts.ops.attention import fused_attention
+
+            rate = 0.0 if deterministic else self.dropout
+            if rate > 0.0:
+                key = self.make_rng("dropout")
+                seed = jax.random.key_data(key).reshape(-1)[-1:].astype(
+                    jnp.int32
+                )
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            if key_valid is not None:
+                bias = (1.0 - key_valid.astype(jnp.float32)) * -1e9
+            else:
+                bias = jnp.zeros((b, t), jnp.float32)
+            out = fused_attention(q, k, v, bias, seed, rate)
+        else:
+            scale = 1.0 / np.sqrt(d)
+            logits = (
+                jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+            )
+            if key_valid is not None:
+                logits = logits + attention_bias_from_mask(key_valid)
+            weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            weights = nn.Dropout(rate=self.dropout)(
+                weights, deterministic=deterministic
+            )
+            out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         out = nn.DenseGeneral(
             features=self.d_model, axis=(-2, -1), dtype=self.dtype, name="out"
         )(out)
@@ -148,6 +174,7 @@ class FFTBlock(nn.Module):
     # SpeechBrain's Transformer passes eps=1e-6; the reference rank model's
     # hand-rolled layer uses torch's nn.LayerNorm default 1e-5
     ln_eps: float = 1e-6
+    fused_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -163,7 +190,8 @@ class FFTBlock(nn.Module):
 
         attn_in = norm1(x).astype(self.dtype) if self.normalize_before else x
         attn = MultiHeadSelfAttention(
-            self.d_model, self.n_heads, self.dropout, dtype=self.dtype, name="attn"
+            self.d_model, self.n_heads, self.dropout, dtype=self.dtype,
+            fused=self.fused_attention, name="attn"
         )(attn_in, key_valid, deterministic)
         x = x + drop(attn, deterministic=deterministic)
         if not self.normalize_before:
@@ -209,6 +237,7 @@ class FFTStack(nn.Module):
     # stack cost O(1) layers instead of O(N) — the jax.checkpoint lever for
     # scaling batch/sequence beyond HBM (params and streams unchanged)
     remat: bool = False
+    fused_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -230,6 +259,7 @@ class FFTStack(nn.Module):
                 self.normalize_before,
                 self.ffn_internal_dropout,
                 ln_eps=self.ln_eps,
+                fused_attention=self.fused_attention,
                 dtype=self.dtype,
                 name=f"layer_{i}",
             )(x, key_valid, deterministic)

@@ -205,6 +205,7 @@ class FastSpeech2(nn.Module):
             normalize_before=c.normalize_before,
             final_norm=True,
             remat=c.remat,
+            fused_attention=c.fused_attention,
             dtype=self.dtype,
             name="encoder",
         )(feats, key_valid=token_valid, deterministic=deterministic).astype(dtype)
@@ -292,6 +293,7 @@ class FastSpeech2(nn.Module):
             normalize_before=c.normalize_before,
             final_norm=True,
             remat=c.remat,
+            fused_attention=c.fused_attention,
             dtype=self.dtype,
             name="decoder",
         )(spec, key_valid=frame_valid, deterministic=deterministic).astype(dtype)

@@ -47,6 +47,7 @@ class IntensityExtractor(nn.Module):
     ffn_mult: int = 4
     dropout: float = 0.1
     remat: bool = False
+    fused_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -77,6 +78,7 @@ class IntensityExtractor(nn.Module):
             ln_eps=1e-5,  # reference layer uses torch nn.LayerNorm default
                           # (rank_model/model.py:28-29)
             remat=self.remat,
+            fused_attention=self.fused_attention,
             dtype=self.dtype,
             name="fft",
         )(h, key_valid=valid, deterministic=deterministic)
@@ -105,6 +107,7 @@ class RankModel(nn.Module):
     ffn_mult: int = 4
     dropout: float = 0.1
     remat: bool = False
+    fused_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -118,6 +121,7 @@ class RankModel(nn.Module):
             ffn_mult=self.ffn_mult,
             dropout=self.dropout,
             remat=self.remat,
+            fused_attention=self.fused_attention,
             dtype=self.dtype,
         )
         self.projector = nn.Dense(1, use_bias=False, name="projector")

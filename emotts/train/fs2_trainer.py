@@ -67,6 +67,7 @@ def build_intensity_extractor(cfg: Config, dtype=None) -> IntensityExtractor:
         ffn_mult=rm.ffn_mult,
         dropout=rm.dropout,
         remat=rm.remat,
+        fused_attention=rm.fused_attention,
         dtype=dtype,
     )
 

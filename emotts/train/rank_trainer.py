@@ -50,6 +50,7 @@ def build_rank_model(cfg: Config, dtype=None) -> RankModel:
         ffn_mult=rm.ffn_mult,
         dropout=rm.dropout,
         remat=rm.remat,
+        fused_attention=rm.fused_attention,
         dtype=dtype,
     )
 

@@ -89,6 +89,7 @@ class RankModelConfig:
     ffn_mult: int = 4  # conv-FFN expansion (hidden_dim * 4 = 1536)
     dropout: float = 0.1
     remat: bool = False  # rematerialize FFT blocks (memory↔FLOPs trade)
+    fused_attention: bool = False  # Pallas fused attention (TPU; ops/attention.py)
     alpha: float = 0.1  # mixup-CE loss weight
     beta: float = 1.0  # ranking loss weight
 
@@ -109,6 +110,7 @@ class FastSpeech2Config:
     dec_dropout: float = 0.1
     normalize_before: bool = False
     remat: bool = False  # rematerialize FFT blocks (memory↔FLOPs trade)
+    fused_attention: bool = False  # Pallas fused attention (TPU; ops/attention.py)
     ffn_kernel_sizes: List[int] = field(default_factory=lambda: [9, 1])
     n_char: int = 95
     n_mels: int = 80

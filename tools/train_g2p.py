@@ -228,12 +228,17 @@ def _strip(ps):
 
 
 def evaluate(np_params, pairs, label, decode="greedy", beam=4):
+    """np_params: one weight dict, or a list of dicts (ensemble decode —
+    averaged per-step log-probs, emotts.text.neural_g2p)."""
+    members = np_params if isinstance(np_params, list) else None
     exact = exact_ns = 0
     per_num = per_den = 0
     lts_exact = lts_per_num = 0
     for w, ref in pairs:
         ids = ng.encode_word(w)
-        if decode == "beam":
+        if members is not None:
+            out = ng.np_ensemble_greedy_decode(members, ids)
+        elif decode == "beam":
             out = ng.np_beam_decode(np_params, ids, beam=beam)
         else:
             out = ng.np_greedy_decode(np_params, ids)
@@ -254,8 +259,35 @@ def evaluate(np_params, pairs, label, decode="greedy", beam=4):
                 lts_exact=lts_exact / n, lts_per=lts_per_num / per_den)
 
 
+def eval_ensemble(paths, holdout=0.1, seed=0, limit=None):
+    """Evaluate 1..N trained member files and their ensemble on the SAME
+    held-out split they were trained against (split is seed-derived, so all
+    members must share --seed)."""
+    members = []
+    for path in paths:
+        data = np.load(path)
+        members.append({k: np.asarray(data[k], np.float32)
+                        for k in data.files if not k.startswith("__")})
+    _, eval_pairs = build_pairs(seed=seed, holdout_frac=holdout)
+    if limit:
+        rng = np.random.default_rng(11)
+        eval_pairs = [eval_pairs[i]
+                      for i in rng.permutation(len(eval_pairs))[:limit]]
+    for i, m in enumerate(members):
+        evaluate(m, eval_pairs, f"member {i} ({paths[i]})")
+    if len(members) > 1:
+        return evaluate(members, eval_pairs, f"ensemble x{len(members)}")
+    return None
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--eval-ensemble", default=None, metavar="NPZ[,NPZ...]",
+                    help="skip training; evaluate these member files and "
+                    "their log-prob-averaged ensemble on the shared "
+                    "held-out split")
+    ap.add_argument("--eval-limit", type=int, default=None,
+                    help="subsample the held-out set for --eval-ensemble")
     ap.add_argument("--out", default=str(Path(g2p_mod.BUNDLED_LEXICON).parent
                                          / "g2p_weights.npz"))
     ap.add_argument("--epochs", type=int, default=200)
@@ -272,6 +304,11 @@ def main():
     ap.add_argument("--swa-frac", type=float, default=0.25,
                     help="average weights over the last FRAC of epochs")
     args = ap.parse_args()
+
+    if args.eval_ensemble:
+        eval_ensemble(args.eval_ensemble.split(","), holdout=args.holdout,
+                      seed=args.seed, limit=args.eval_limit)
+        return
 
     raw_params, swa_params, train_pairs, eval_pairs = train(args)
     rng = np.random.default_rng(9)
