@@ -94,9 +94,12 @@ def test_heldout_quality_beats_rule_lts(model):
         per_num += _edit(hyp, ref)
         per_den += len(ref)
         lts_per_num += _edit(letter_to_sound(w), ref)
-    assert n_exact / len(sample) >= 0.45, n_exact / len(sample)
-    assert per_num / per_den <= 0.20, per_num / per_den
-    assert per_num < lts_per_num * 0.6  # >=40% PER reduction vs rules
+    # floors pinned within ~5 pts of the shipped weights' measured quality
+    # (held-out 66.7% exact / 0.078 PER, tools/train_g2p.py) so the
+    # component cannot silently degrade
+    assert n_exact / len(sample) >= 0.60, n_exact / len(sample)
+    assert per_num / per_den <= 0.11, per_num / per_den
+    assert per_num < lts_per_num * 0.45  # >=55% PER reduction vs rules
 
 
 def test_beam_decode_wellformed(model):
