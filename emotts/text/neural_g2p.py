@@ -52,13 +52,27 @@ MAX_PHON_LEN = 32  # phonemes incl. EOS
 
 BUNDLED_WEIGHTS = str(Path(__file__).parent / "data" / "g2p_weights.npz")
 
-# architecture constants (must match tools/train_g2p.py)
+# default architecture (tools/train_g2p.py can train other sizes; the
+# shipped npz stores __n_heads__ and everything else derives from shapes)
 D_MODEL = 128
 N_HEADS = 4
 D_FF = 512
 N_ENC = 2
 N_DEC = 2
 _EPS = 1e-5
+
+
+def arch_of(p: Dict[str, np.ndarray], n_heads: Optional[int] = None) -> dict:
+    """Derive the transformer dimensions from a flat weight dict."""
+    n_enc = sum(1 for k in p if k.endswith("_attn_wq"))
+    n_dec = sum(1 for k in p if k.startswith("dec") and k.endswith("_self_wq"))
+    return dict(
+        d_model=p["char_emb"].shape[1],
+        d_ff=p["enc0_ff1"].shape[1],
+        n_enc=n_enc,
+        n_dec=n_dec,
+        n_heads=N_HEADS if n_heads is None else int(n_heads),
+    )
 
 
 def encode_word(word: str) -> Optional[np.ndarray]:
@@ -115,69 +129,72 @@ def _gelu(x):
     return 0.5 * x * (1.0 + erf(x / np.sqrt(2.0).astype(x.dtype)))
 
 
-def _attn(q_x, kv_x, p, pre, mask):
+def _attn(q_x, kv_x, p, pre, mask, n_heads=N_HEADS):
     """Multi-head attention.  q_x (Tq,D), kv_x (Tk,D); mask (Tq,Tk) additive."""
     q = q_x @ p[pre + "wq"]
     k = kv_x @ p[pre + "wk"]
     v = kv_x @ p[pre + "wv"]
-    dh = D_MODEL // N_HEADS
+    d_model = q.shape[-1]
+    dh = d_model // n_heads
     tq, tk = q.shape[0], k.shape[0]
-    q = q.reshape(tq, N_HEADS, dh).transpose(1, 0, 2)
-    k = k.reshape(tk, N_HEADS, dh).transpose(1, 0, 2)
-    v = v.reshape(tk, N_HEADS, dh).transpose(1, 0, 2)
+    q = q.reshape(tq, n_heads, dh).transpose(1, 0, 2)
+    k = k.reshape(tk, n_heads, dh).transpose(1, 0, 2)
+    v = v.reshape(tk, n_heads, dh).transpose(1, 0, 2)
     s = q @ k.transpose(0, 2, 1) / np.sqrt(np.float32(dh)) + mask
     s = s - s.max(-1, keepdims=True)
     a = np.exp(s)
     a = a / a.sum(-1, keepdims=True)
-    o = (a @ v).transpose(1, 0, 2).reshape(tq, D_MODEL)
+    o = (a @ v).transpose(1, 0, 2).reshape(tq, d_model)
     return o @ p[pre + "wo"]
 
 
-def _enc_layer(x, p, pre, pad_mask):
+def _enc_layer(x, p, pre, pad_mask, n_heads=N_HEADS):
     h = _ln(x, p[pre + "ln1_g"], p[pre + "ln1_b"])
-    x = x + _attn(h, h, p, pre + "attn_", pad_mask)
+    x = x + _attn(h, h, p, pre + "attn_", pad_mask, n_heads)
     h = _ln(x, p[pre + "ln2_g"], p[pre + "ln2_b"])
     return x + _gelu(h @ p[pre + "ff1"]) @ p[pre + "ff2"]
 
 
-def _dec_layer(x, enc, p, pre, causal_mask, enc_pad_mask):
+def _dec_layer(x, enc, p, pre, causal_mask, enc_pad_mask, n_heads=N_HEADS):
     h = _ln(x, p[pre + "ln1_g"], p[pre + "ln1_b"])
-    x = x + _attn(h, h, p, pre + "self_", causal_mask)
+    x = x + _attn(h, h, p, pre + "self_", causal_mask, n_heads)
     h = _ln(x, p[pre + "ln2_g"], p[pre + "ln2_b"])
-    x = x + _attn(h, enc, p, pre + "cross_", enc_pad_mask)
+    x = x + _attn(h, enc, p, pre + "cross_", enc_pad_mask, n_heads)
     h = _ln(x, p[pre + "ln3_g"], p[pre + "ln3_b"])
     return x + _gelu(h @ p[pre + "ff1"]) @ p[pre + "ff2"]
 
 
-def _np_encode(p: Dict[str, np.ndarray], char_ids: np.ndarray):
+def _np_encode(p: Dict[str, np.ndarray], char_ids: np.ndarray,
+               n_heads=N_HEADS):
     t = int((char_ids != CHAR_PAD).sum())
     ids = char_ids[:t]
     x = p["char_emb"][ids] + p["char_pos"][:t]
     pad_mask = np.zeros((t, t), dtype=np.float32)
-    for i in range(N_ENC):
-        x = _enc_layer(x, p, f"enc{i}_", pad_mask)
+    for i in range(arch_of(p, n_heads)["n_enc"]):
+        x = _enc_layer(x, p, f"enc{i}_", pad_mask, n_heads)
     return _ln(x, p["enc_ln_g"], p["enc_ln_b"])
 
 
-def _np_step_logits(p, enc, prev: List[int]) -> np.ndarray:
+def _np_step_logits(p, enc, prev: List[int], n_heads=N_HEADS) -> np.ndarray:
     """Next-token logits for one decoder prefix (numpy)."""
     t = len(prev)
     x = p["phon_emb"][np.array(prev)] + p["phon_pos"][:t]
     causal = np.triu(np.full((t, t), -1e9, dtype=np.float32), k=1)
     enc_mask = np.zeros((t, enc.shape[0]), dtype=np.float32)
-    for i in range(N_DEC):
-        x = _dec_layer(x, enc, p, f"dec{i}_", causal, enc_mask)
+    for i in range(arch_of(p, n_heads)["n_dec"]):
+        x = _dec_layer(x, enc, p, f"dec{i}_", causal, enc_mask, n_heads)
     x = _ln(x, p["dec_ln_g"], p["dec_ln_b"])
     return x[-1] @ p["out_proj"]
 
 
-def np_greedy_decode(p: Dict[str, np.ndarray], char_ids: np.ndarray) -> List[int]:
+def np_greedy_decode(p: Dict[str, np.ndarray], char_ids: np.ndarray,
+                     n_heads: int = N_HEADS) -> List[int]:
     """Greedy autoregressive decode (numpy).  Returns phoneme ids (no EOS)."""
-    enc = _np_encode(p, char_ids)
+    enc = _np_encode(p, char_ids, n_heads)
     out: List[int] = []
     prev = [PHON_BOS]
     for step in range(MAX_PHON_LEN):
-        nxt = int(np.argmax(_np_step_logits(p, enc, prev)))
+        nxt = int(np.argmax(_np_step_logits(p, enc, prev, n_heads)))
         if nxt == PHON_EOS or nxt == PHON_PAD:
             break
         out.append(nxt)
@@ -191,20 +208,23 @@ def _log_softmax(x: np.ndarray) -> np.ndarray:
 
 
 def np_ensemble_greedy_decode(
-    ps: List[Dict[str, np.ndarray]], char_ids: np.ndarray
+    ps: List[Dict[str, np.ndarray]], char_ids: np.ndarray,
+    n_heads: "Optional[List[int]]" = None,
 ) -> List[int]:
     """Greedy decode under the average of the members' per-step log-probs.
 
-    Product-of-experts over independently-initialized members; degenerates
-    to ``np_greedy_decode`` for a single member (argmax of one log-softmax
+    Product-of-experts over independently-initialized members (mixed
+    architectures allowed — ``n_heads`` per member); degenerates to
+    ``np_greedy_decode`` for a single member (argmax of one log-softmax
     is the argmax of its logits)."""
-    encs = [_np_encode(p, char_ids) for p in ps]
+    heads = n_heads or [N_HEADS] * len(ps)
+    encs = [_np_encode(p, char_ids, h) for p, h in zip(ps, heads)]
     out: List[int] = []
     prev = [PHON_BOS]
     for step in range(MAX_PHON_LEN):
         logp = sum(
-            _log_softmax(_np_step_logits(p, enc, prev))
-            for p, enc in zip(ps, encs)
+            _log_softmax(_np_step_logits(p, enc, prev, h))
+            for p, enc, h in zip(ps, encs, heads)
         )
         nxt = int(np.argmax(logp))
         if nxt == PHON_EOS or nxt == PHON_PAD:
@@ -215,10 +235,11 @@ def np_ensemble_greedy_decode(
 
 
 def np_beam_decode(
-    p: Dict[str, np.ndarray], char_ids: np.ndarray, beam: int = 4
+    p: Dict[str, np.ndarray], char_ids: np.ndarray, beam: int = 4,
+    n_heads: int = N_HEADS,
 ) -> List[int]:
     """Length-normalized beam search (numpy).  Returns phoneme ids (no EOS)."""
-    enc = _np_encode(p, char_ids)
+    enc = _np_encode(p, char_ids, n_heads)
     # (prefix, logprob, done)
     beams = [([PHON_BOS], 0.0, False)]
     for step in range(MAX_PHON_LEN):
@@ -229,7 +250,7 @@ def np_beam_decode(
             if done:
                 cand.append((prefix, lp, True))
                 continue
-            logits = _np_step_logits(p, enc, prefix)
+            logits = _np_step_logits(p, enc, prefix, n_heads)
             logits = logits - logits.max()
             logp = logits - np.log(np.exp(logits).sum())
             top = np.argsort(logp)[-beam:]
@@ -254,12 +275,16 @@ def np_beam_decode(
 # ---------------------------------------------------------------------------
 
 
-def jax_forward(p, char_ids, phon_in, *, dropout_rate=0.0, rng=None):
+def jax_forward(p, char_ids, phon_in, *, dropout_rate=0.0, rng=None,
+                n_heads: int = N_HEADS):
     """Teacher-forced logits, batched.  char_ids (B,Tw) int32, phon_in (B,Tp)
     int32 (BOS-shifted).  Returns (B,Tp,N_PHON_TOKENS).  Exact mirror of the
     numpy math (same weight dict), plus optional dropout for training."""
     import jax
     import jax.numpy as jnp
+
+    arch = arch_of(p, n_heads)
+    d_model, na_enc, na_dec = arch["d_model"], arch["n_enc"], arch["n_dec"]
 
     hi = jax.lax.Precision.HIGHEST
 
@@ -280,17 +305,17 @@ def jax_forward(p, char_ids, phon_in, *, dropout_rate=0.0, rng=None):
         q = jnp.einsum("btd,de->bte", q_x, p[pre + "wq"], precision=hi)
         k = jnp.einsum("btd,de->bte", kv_x, p[pre + "wk"], precision=hi)
         v = jnp.einsum("btd,de->bte", kv_x, p[pre + "wv"], precision=hi)
-        dh = D_MODEL // N_HEADS
+        dh = d_model // n_heads
         b, tq, tk = q.shape[0], q.shape[1], k.shape[1]
-        q = q.reshape(b, tq, N_HEADS, dh)
-        k = k.reshape(b, tk, N_HEADS, dh)
-        v = v.reshape(b, tk, N_HEADS, dh)
+        q = q.reshape(b, tq, n_heads, dh)
+        k = k.reshape(b, tk, n_heads, dh)
+        v = v.reshape(b, tk, n_heads, dh)
         s = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=hi) / jnp.sqrt(
             jnp.float32(dh)
         )
         a = jax.nn.softmax(s + mask, axis=-1)
         a = drop(a)
-        o = jnp.einsum("bhqk,bkhd->bqhd", a, v, precision=hi).reshape(b, tq, D_MODEL)
+        o = jnp.einsum("bhqk,bkhd->bqhd", a, v, precision=hi).reshape(b, tq, d_model)
         return jnp.einsum("btd,de->bte", o, p[pre + "wo"], precision=hi)
 
     def ffn(x, pre):
@@ -305,7 +330,7 @@ def jax_forward(p, char_ids, phon_in, *, dropout_rate=0.0, rng=None):
     tw = char_ids.shape[1]
     x = p["char_emb"][char_ids] + p["char_pos"][None, :tw]
     x = drop(x)
-    for i in range(N_ENC):
+    for i in range(na_enc):
         pre = f"enc{i}_"
         h = ln(x, p[pre + "ln1_g"], p[pre + "ln1_b"])
         x = x + drop(attn(h, h, pre + "attn_", char_pad))
@@ -317,7 +342,7 @@ def jax_forward(p, char_ids, phon_in, *, dropout_rate=0.0, rng=None):
     causal = jnp.triu(jnp.full((tp, tp), -1e9, dtype=jnp.float32), k=1)[None, None]
     y = p["phon_emb"][phon_in] + p["phon_pos"][None, :tp]
     y = drop(y)
-    for i in range(N_DEC):
+    for i in range(na_dec):
         pre = f"dec{i}_"
         h = ln(y, p[pre + "ln1_g"], p[pre + "ln1_b"])
         y = y + drop(attn(h, h, pre + "self_", causal))
@@ -329,54 +354,56 @@ def jax_forward(p, char_ids, phon_in, *, dropout_rate=0.0, rng=None):
     return jnp.einsum("btd,dv->btv", y, p["out_proj"], precision=hi)
 
 
-def init_params(seed: int = 0) -> Dict[str, np.ndarray]:
+def init_params(seed: int = 0, d_model: int = D_MODEL, d_ff: int = D_FF,
+                n_enc: int = N_ENC, n_dec: int = N_DEC) -> Dict[str, np.ndarray]:
     """Fresh fp32 weight dict (numpy; framework-agnostic layout)."""
     rng = np.random.default_rng(seed)
+    D_MODEL_, D_FF_ = d_model, d_ff
 
     def dense(n_in, n_out):
         return (rng.standard_normal((n_in, n_out)) / np.sqrt(n_in)).astype(np.float32)
 
     p: Dict[str, np.ndarray] = {
-        "char_emb": (rng.standard_normal((N_CHAR_TOKENS, D_MODEL)) * 0.02).astype(
+        "char_emb": (rng.standard_normal((N_CHAR_TOKENS, D_MODEL_)) * 0.02).astype(
             np.float32
         ),
-        "char_pos": (rng.standard_normal((MAX_WORD_LEN, D_MODEL)) * 0.02).astype(
+        "char_pos": (rng.standard_normal((MAX_WORD_LEN, D_MODEL_)) * 0.02).astype(
             np.float32
         ),
-        "phon_emb": (rng.standard_normal((N_PHON_TOKENS, D_MODEL)) * 0.02).astype(
+        "phon_emb": (rng.standard_normal((N_PHON_TOKENS, D_MODEL_)) * 0.02).astype(
             np.float32
         ),
-        "phon_pos": (rng.standard_normal((MAX_PHON_LEN, D_MODEL)) * 0.02).astype(
+        "phon_pos": (rng.standard_normal((MAX_PHON_LEN, D_MODEL_)) * 0.02).astype(
             np.float32
         ),
-        "enc_ln_g": np.ones(D_MODEL, np.float32),
-        "enc_ln_b": np.zeros(D_MODEL, np.float32),
-        "dec_ln_g": np.ones(D_MODEL, np.float32),
-        "dec_ln_b": np.zeros(D_MODEL, np.float32),
-        "out_proj": dense(D_MODEL, N_PHON_TOKENS),
+        "enc_ln_g": np.ones(D_MODEL_, np.float32),
+        "enc_ln_b": np.zeros(D_MODEL_, np.float32),
+        "dec_ln_g": np.ones(D_MODEL_, np.float32),
+        "dec_ln_b": np.zeros(D_MODEL_, np.float32),
+        "out_proj": dense(D_MODEL_, N_PHON_TOKENS),
     }
 
     def add_attn(pre):
         for n in ("wq", "wk", "wv", "wo"):
-            p[pre + n] = dense(D_MODEL, D_MODEL)
+            p[pre + n] = dense(D_MODEL_, D_MODEL_)
 
-    for i in range(N_ENC):
+    for i in range(n_enc):
         pre = f"enc{i}_"
         add_attn(pre + "attn_")
-        p[pre + "ff1"] = dense(D_MODEL, D_FF)
-        p[pre + "ff2"] = dense(D_FF, D_MODEL)
+        p[pre + "ff1"] = dense(D_MODEL_, D_FF_)
+        p[pre + "ff2"] = dense(D_FF_, D_MODEL_)
         for j in (1, 2):
-            p[pre + f"ln{j}_g"] = np.ones(D_MODEL, np.float32)
-            p[pre + f"ln{j}_b"] = np.zeros(D_MODEL, np.float32)
-    for i in range(N_DEC):
+            p[pre + f"ln{j}_g"] = np.ones(D_MODEL_, np.float32)
+            p[pre + f"ln{j}_b"] = np.zeros(D_MODEL_, np.float32)
+    for i in range(n_dec):
         pre = f"dec{i}_"
         add_attn(pre + "self_")
         add_attn(pre + "cross_")
-        p[pre + "ff1"] = dense(D_MODEL, D_FF)
-        p[pre + "ff2"] = dense(D_FF, D_MODEL)
+        p[pre + "ff1"] = dense(D_MODEL_, D_FF_)
+        p[pre + "ff2"] = dense(D_FF_, D_MODEL_)
         for j in (1, 2, 3):
-            p[pre + f"ln{j}_g"] = np.ones(D_MODEL, np.float32)
-            p[pre + f"ln{j}_b"] = np.zeros(D_MODEL, np.float32)
+            p[pre + f"ln{j}_g"] = np.ones(D_MODEL_, np.float32)
+            p[pre + f"ln{j}_b"] = np.zeros(D_MODEL_, np.float32)
     return p
 
 
@@ -408,6 +435,7 @@ class NeuralG2P:
         else:
             paths = [Path(p) for p in weights_path]
         self.members: List[Dict[str, np.ndarray]] = []
+        self.member_heads: List[int] = []
         for path in paths:
             data = np.load(path)
             if int(data["__version__"][0]) != 1:
@@ -417,7 +445,12 @@ class NeuralG2P:
                 for k in data.files
                 if not k.startswith("__")
             })
+            self.member_heads.append(
+                int(data["__n_heads__"][0])
+                if "__n_heads__" in data.files else N_HEADS
+            )
         self.params = self.members[0]  # single-member API compat
+        self.n_heads = self.member_heads[0]
         # per-instance decode cache (a class-level @lru_cache would key on
         # self and pin every instance + its params for process lifetime)
         self._cache: "OrderedDict[str, Optional[tuple]]" = OrderedDict()
@@ -436,9 +469,10 @@ class NeuralG2P:
         res: Optional[tuple] = None
         if ids is not None:
             if len(self.members) > 1:
-                out = np_ensemble_greedy_decode(self.members, ids)
+                out = np_ensemble_greedy_decode(self.members, ids,
+                                                self.member_heads)
             else:
-                out = np_greedy_decode(self.params, ids)
+                out = np_greedy_decode(self.params, ids, self.n_heads)
             if out:
                 res = tuple(decode_phoneme_ids(out))
         cache[word] = res

@@ -143,7 +143,9 @@ def train(args):
     d_chars, d_dec_in, d_targets = (jnp.asarray(a)
                                     for a in (chars, dec_in, targets))
 
-    params = {k: jnp.asarray(v) for k, v in ng.init_params(init_seed).items()}
+    params = {k: jnp.asarray(v) for k, v in ng.init_params(
+        init_seed, d_model=args.d_model, d_ff=args.d_ff,
+        n_enc=args.layers, n_dec=args.layers).items()}
     steps_per_epoch = max(1, n // args.batch)
     total_steps = steps_per_epoch * args.epochs
     sched = optax.warmup_cosine_decay_schedule(
@@ -155,7 +157,8 @@ def train(args):
     smooth = args.label_smoothing
 
     def loss_fn(p, c, di, tg, rng):
-        logits = ng.jax_forward(p, c, di, dropout_rate=args.dropout, rng=rng)
+        logits = ng.jax_forward(p, c, di, dropout_rate=args.dropout, rng=rng,
+                                n_heads=args.heads)
         mask = (tg != ng.PHON_PAD).astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, tg[..., None], axis=-1)[..., 0]
@@ -227,21 +230,26 @@ def _strip(ps):
     return [p.rstrip("012") for p in ps]
 
 
-def evaluate(np_params, pairs, label, decode="greedy", beam=4):
+def evaluate(np_params, pairs, label, decode="greedy", beam=4,
+             n_heads=ng.N_HEADS):
     """np_params: one weight dict, or a list of dicts (ensemble decode —
-    averaged per-step log-probs, emotts.text.neural_g2p)."""
+    averaged per-step log-probs, emotts.text.neural_g2p).  For an ensemble,
+    n_heads may be a per-member list."""
     members = np_params if isinstance(np_params, list) else None
+    heads_list = (n_heads if isinstance(n_heads, list)
+                  else [n_heads] * (len(members) if members else 1))
     exact = exact_ns = 0
     per_num = per_den = 0
     lts_exact = lts_per_num = 0
     for w, ref in pairs:
         ids = ng.encode_word(w)
         if members is not None:
-            out = ng.np_ensemble_greedy_decode(members, ids)
+            out = ng.np_ensemble_greedy_decode(members, ids, heads_list)
         elif decode == "beam":
-            out = ng.np_beam_decode(np_params, ids, beam=beam)
+            out = ng.np_beam_decode(np_params, ids, beam=beam,
+                                    n_heads=heads_list[0])
         else:
-            out = ng.np_greedy_decode(np_params, ids)
+            out = ng.np_greedy_decode(np_params, ids, heads_list[0])
         hyp = ng.decode_phoneme_ids(out)
         lts = letter_to_sound(w)
         exact += hyp == ref
@@ -264,19 +272,23 @@ def eval_ensemble(paths, holdout=0.1, seed=0, limit=None):
     held-out split they were trained against (split is seed-derived, so all
     members must share --seed)."""
     members = []
+    heads = []
     for path in paths:
         data = np.load(path)
         members.append({k: np.asarray(data[k], np.float32)
                         for k in data.files if not k.startswith("__")})
+        heads.append(int(data["__n_heads__"][0])
+                     if "__n_heads__" in data.files else ng.N_HEADS)
     _, eval_pairs = build_pairs(seed=seed, holdout_frac=holdout)
     if limit:
         rng = np.random.default_rng(11)
         eval_pairs = [eval_pairs[i]
                       for i in rng.permutation(len(eval_pairs))[:limit]]
     for i, m in enumerate(members):
-        evaluate(m, eval_pairs, f"member {i} ({paths[i]})")
+        evaluate(m, eval_pairs, f"member {i} ({paths[i]})", n_heads=heads[i])
     if len(members) > 1:
-        return evaluate(members, eval_pairs, f"ensemble x{len(members)}")
+        return evaluate(members, eval_pairs, f"ensemble x{len(members)}",
+                        n_heads=heads)
     return None
 
 
@@ -291,6 +303,11 @@ def main():
     ap.add_argument("--out", default=str(Path(g2p_mod.BUNDLED_LEXICON).parent
                                          / "g2p_weights.npz"))
     ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--d-model", type=int, default=ng.D_MODEL)
+    ap.add_argument("--d-ff", type=int, default=ng.D_FF)
+    ap.add_argument("--layers", type=int, default=ng.N_ENC,
+                    help="encoder AND decoder layer count")
+    ap.add_argument("--heads", type=int, default=ng.N_HEADS)
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--dropout", type=float, default=0.2)
@@ -319,25 +336,30 @@ def main():
     cands = [("final", raw_params)]
     if swa_params is not None:
         cands.append(("swa", swa_params))
-    scored = [(evaluate(p, sub, f"held-out sub ({name})")["exact"], name, p)
+    scored = [(evaluate(p, sub, f"held-out sub ({name})",
+                        n_heads=args.heads)["exact"], name, p)
               for name, p in cands]
     scored.sort(reverse=True, key=lambda s: s[0])
     _, best_name, np_params = scored[0]
     print(f"selected: {best_name}")
 
-    evaluate(np_params, sample, "train sample")
-    metrics = evaluate(np_params, eval_pairs, "held-out")
-    evaluate(np_params, eval_pairs, "held-out", decode="beam")
+    evaluate(np_params, sample, "train sample", n_heads=args.heads)
+    metrics = evaluate(np_params, eval_pairs, "held-out", n_heads=args.heads)
+    evaluate(np_params, eval_pairs, "held-out", decode="beam",
+             n_heads=args.heads)
     # base (lexicon-root) words only — the hardest, most honest subset:
     # unseen roots with no morphological signal
     g2p = G2P()
     base_eval = [(w, p) for w, p in eval_pairs if w in g2p.lexicon]
     if base_eval:
-        evaluate(np_params, base_eval, "held-out base words")
-        evaluate(np_params, base_eval, "held-out base words", decode="beam")
+        evaluate(np_params, base_eval, "held-out base words",
+                 n_heads=args.heads)
+        evaluate(np_params, base_eval, "held-out base words", decode="beam",
+                 n_heads=args.heads)
 
     out = dict(np_params)
     out["__version__"] = np.array([1], np.int32)
+    out["__n_heads__"] = np.array([args.heads], np.int32)
     out["__eval_exact__"] = np.array([metrics["exact"]], np.float32)
     out["__eval_per__"] = np.array([metrics["per"]], np.float32)
     np.savez_compressed(args.out, **out)
