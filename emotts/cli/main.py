@@ -47,6 +47,7 @@ def _parse(argv):
             "import-reference",
             "train-vocoder",
             "evaluate",
+            "serve",
         ],
     )
     parser.add_argument("--config", default=None, help="YAML config path")
@@ -87,6 +88,10 @@ def _parse(argv):
                         ">1=exaggerated)")
     parser.add_argument("--pace", type=float, default=1.0,
                         help="(synthesize --text-file) speaking-rate multiplier")
+    parser.add_argument("--host", default="127.0.0.1",
+                        help="(serve) bind address")
+    parser.add_argument("--port", type=int, default=8080,
+                        help="(serve) TCP port (0 = pick a free one)")
     parser.add_argument("--stream", action="store_true",
                         help="(synthesize --text-file) streaming mode: vocode "
                         "in chunks and report time-to-first-audio")
@@ -238,6 +243,24 @@ def main(argv=None) -> int:
         params = load_vocoder_checkpoint(args.checkpoint, cfg)
         save_vocoder_params_npz(params, args.output)
         print(f"[convert-vocoder] saved {args.output}")
+
+    elif args.command == "serve":
+        from emotts.infer.server import make_server
+        from emotts.infer.synthesize import load_synthesizer
+
+        synth = load_synthesizer(cfg)
+        httpd = make_server(cfg, synth, host=args.host, port=args.port,
+                            verbose=True)
+        host, port = httpd.server_address[:2]
+        print(f"[serve] listening on http://{host}:{port}  "
+              f"(endpoints: GET /health, POST /synthesize, POST /batch)",
+              flush=True)
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            httpd.server_close()
 
     elif args.command == "evaluate":
         from emotts.eval.evaluate import Evaluator

@@ -1,0 +1,237 @@
+"""HTTP serving frontend for the synthesis stack.
+
+The reference's pipeline ends at an offline script that writes wav files
+(fastspeech2/inference.py); a production deployment needs a long-lived
+process that keeps the compiled graphs and params resident and answers
+requests.  This module is that surface, with three endpoints over the
+existing engines:
+
+* ``GET /health`` — liveness + the model's speaker/emotion tables.
+* ``POST /synthesize`` — one long-form request → a complete ``audio/wav``
+  body (``Synthesizer.synthesize_text``: sentence-split, bucket-batched,
+  O(#buckets) device dispatches), or, with ``"stream": true``, a chunked
+  ``audio/L16`` response whose first bytes arrive after one sentence + one
+  vocoder chunk (``emotts.infer.streaming.stream_text`` — lossless chunked
+  vocoding, the measured warm TTFA path in BENCH_NOTES.md).
+* ``POST /batch`` — many requests in one body; all sentences across all
+  requests that share a phone bucket run as ONE jitted dispatch
+  (``Synthesizer.synthesize_requests``), so device work is O(#distinct
+  buckets), not O(#requests).
+
+Single-process, stdlib-only (``ThreadingHTTPServer``): connection handling
+is threaded, device work serializes through one lock — the engines batch
+internally, which is where TPU throughput comes from; queuing discipline
+beyond that belongs to a fronting load balancer.
+
+Speakers/emotions accept either names (from ``cfg.data``) or integer ids.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import struct
+import threading
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+def _wav_bytes(y: np.ndarray, sr: int) -> bytes:
+    """float32 [-1, 1] → 16-bit PCM WAV container bytes."""
+    pcm = (np.clip(y, -1.0, 1.0) * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def _pcm16(y: np.ndarray) -> bytes:
+    return (np.clip(y, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+
+
+class TTSRequestError(ValueError):
+    pass
+
+
+class TTSService:
+    """Name resolution + request validation + serialized engine access."""
+
+    def __init__(self, cfg, synth):
+        self.cfg = cfg
+        self.synth = synth
+        self.lock = threading.Lock()  # device work serializes here
+        self.speakers = list(cfg.data.speakers)
+        self.emotions = list(cfg.data.emotions)
+
+    def _resolve(self, value, table, what: str) -> int:
+        if isinstance(value, bool) or value is None:
+            raise TTSRequestError(f"missing/invalid {what}: {value!r}")
+        if isinstance(value, int):
+            if not 0 <= value < len(table):
+                raise TTSRequestError(f"{what} id {value} out of range")
+            return value
+        if value in table:
+            return table.index(value)
+        raise TTSRequestError(f"unknown {what} {value!r}; known: {table}")
+
+    def parse(self, req: dict) -> dict:
+        if not isinstance(req, dict) or not str(req.get("text", "")).strip():
+            raise TTSRequestError("request needs a non-empty 'text'")
+        return {
+            "text": str(req["text"]),
+            "speaker": self._resolve(req.get("speaker"), self.speakers,
+                                     "speaker"),
+            "emotion": self._resolve(req.get("emotion"), self.emotions,
+                                     "emotion"),
+            "level": float(req.get("level", 0)),
+            "scale": float(req.get("intensity_scale", 1.0)),
+            "pace": float(req.get("pace", 1.0)),
+            "pitch_rate": float(req.get("pitch_rate", 1.0)),
+            "energy_rate": float(req.get("energy_rate", 1.0)),
+        }
+
+    def _need_vocoder(self):
+        if self.synth.vocoder_params is None:
+            raise TTSRequestError(
+                "server has no vocoder configured "
+                "(set inference.vocoder_checkpoint)"
+            )
+
+    def synthesize(self, req: dict) -> np.ndarray:
+        self._need_vocoder()
+        r = self.parse(req)
+        with self.lock:
+            return self.synth.synthesize_text(
+                r["text"], r["speaker"], r["emotion"], level=r["level"],
+                intensity_scale=r["scale"], pace=r["pace"],
+                pitch_rate=r["pitch_rate"], energy_rate=r["energy_rate"],
+            )
+
+    def stream(self, req: dict):
+        from emotts.infer.streaming import stream_text
+
+        self._need_vocoder()
+        r = self.parse(req)
+        with self.lock:
+            # yield under the lock: chunks come straight off the device
+            yield from stream_text(
+                self.synth, r["text"], r["speaker"], r["emotion"],
+                level=r["level"], intensity_scale=r["scale"], pace=r["pace"],
+                pitch_rate=r["pitch_rate"], energy_rate=r["energy_rate"],
+            )
+
+    def batch(self, reqs) -> list:
+        self._need_vocoder()
+        if not isinstance(reqs, list) or not reqs:
+            raise TTSRequestError("'requests' must be a non-empty list")
+        parsed = [self.parse(r) for r in reqs]
+        # prosody rates are jit-static and shared per engine call
+        # (Synthesizer.synthesize_requests); a batch uses the first
+        # request's values — split calls to mix prosody
+        first = parsed[0]
+        with self.lock:
+            return self.synth.synthesize_requests(
+                parsed, pace=first["pace"], pitch_rate=first["pitch_rate"],
+                energy_rate=first["energy_rate"],
+            )
+
+
+class _Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+    # self.server.service is attached by make_server
+
+    def log_message(self, fmt, *args):  # route through server hook (quiet tests)
+        if getattr(self.server, "verbose", False):
+            super().log_message(fmt, *args)
+
+    # -- helpers ---------------------------------------------------------
+
+    def _json(self, code: int, obj: dict) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _read_json(self) -> dict:
+        n = int(self.headers.get("Content-Length", 0))
+        if n <= 0:
+            raise TTSRequestError("missing request body")
+        try:
+            return json.loads(self.rfile.read(n))
+        except json.JSONDecodeError as e:
+            raise TTSRequestError(f"bad JSON: {e}") from e
+
+    # -- endpoints -------------------------------------------------------
+
+    def do_GET(self):
+        svc: TTSService = self.server.service
+        if self.path == "/health":
+            self._json(200, {
+                "status": "ok",
+                "speakers": svc.speakers,
+                "emotions": svc.emotions,
+                "sample_rate": svc.cfg.audio.sampling_rate,
+                "vocoder": svc.synth.vocoder_params is not None,
+            })
+        else:
+            self._json(404, {"error": f"no route {self.path}"})
+
+    def do_POST(self):
+        svc: TTSService = self.server.service
+        sr = svc.cfg.audio.sampling_rate
+        try:
+            if self.path == "/synthesize":
+                req = self._read_json()
+                if req.get("stream"):
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/L16")
+                    self.send_header("X-Sample-Rate", str(sr))
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                    for chunk in svc.stream(req):
+                        data = _pcm16(chunk)
+                        self.wfile.write(f"{len(data):x}\r\n".encode())
+                        self.wfile.write(data + b"\r\n")
+                    self.wfile.write(b"0\r\n\r\n")
+                else:
+                    wav = _wav_bytes(svc.synthesize(req), sr)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header("Content-Length", str(len(wav)))
+                    self.end_headers()
+                    self.wfile.write(wav)
+            elif self.path == "/batch":
+                body = self._read_json()
+                wavs = svc.batch(body.get("requests"))
+                self._json(200, {
+                    "sample_rate": sr,
+                    "wavs_b64": [
+                        base64.b64encode(_wav_bytes(y, sr)).decode()
+                        for y in wavs
+                    ],
+                })
+            else:
+                self._json(404, {"error": f"no route {self.path}"})
+        except TTSRequestError as e:
+            self._json(400, {"error": str(e)})
+        except Exception as e:  # engine errors surface as 500, not a hang
+            self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+def make_server(cfg, synth, host: str = "127.0.0.1", port: int = 8080,
+                verbose: bool = False) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; caller runs ``serve_forever()``.
+    Port 0 picks a free port (``server.server_address[1]``)."""
+    httpd = ThreadingHTTPServer((host, port), _Handler)
+    httpd.service = TTSService(cfg, synth)
+    httpd.verbose = verbose
+    return httpd

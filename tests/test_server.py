@@ -1,0 +1,161 @@
+"""HTTP serving frontend tests (emotts/infer/server.py) over tiny models.
+
+Real sockets, real HTTP: the server runs in a thread on a free port and the
+tests speak urllib against it — health, full-wav synthesis, name/id
+resolution, input validation, the chunked-PCM streaming path, and the
+bucket-batched /batch endpoint.
+"""
+
+import base64
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+import wave
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emotts.infer.server import make_server
+from emotts.infer.synthesize import Synthesizer
+from emotts.nn.hifigan import HiFiGANGenerator
+from emotts.train.fs2_trainer import build_fastspeech2, init_fs2_variables
+from emotts.utils.config import Config
+
+
+@pytest.fixture(scope="module")
+def served():
+    cfg = Config()
+    cfg.data.speakers = ["a", "b"]
+    cfg.data.emotions = ["neutral", "amused", "angry"]
+    f = cfg.fastspeech2
+    f.enc_num_layers = f.dec_num_layers = 1
+    f.enc_d_model = f.dec_d_model = 32
+    f.enc_ffn_dim = f.dec_ffn_dim = 64
+    f.postnet_embedding_dim = 32
+    f.postnet_n_convolutions = 3
+    f.max_mel_len = 128
+    cfg.bucketing.phone_buckets = [16, 32]
+
+    model = build_fastspeech2(cfg)
+    variables = init_fs2_variables(cfg, model, 0)
+    voc = HiFiGANGenerator(
+        in_channels=cfg.audio.n_mels,
+        upsample_initial_channel=16,
+        upsample_rates=(8, 8, 2, 2),
+        upsample_kernel_sizes=(16, 16, 4, 4),
+        resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3),),
+    )
+    voc_params = voc.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 8, cfg.audio.n_mels)))
+    bank = np.random.default_rng(0).standard_normal((2, 3, 2, 3)).astype(
+        np.float32
+    )
+    synth = Synthesizer(cfg, variables, voc_params, bank)
+    synth.vocoder = voc
+    synth._voc_fn = jax.jit(synth._vocode)
+
+    httpd = make_server(cfg, synth, port=0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield cfg, base
+    httpd.shutdown()
+    httpd.server_close()
+
+
+def _post(base, path, obj):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    return urllib.request.urlopen(req, timeout=120)
+
+
+def _wav_samples(data: bytes):
+    with wave.open(io.BytesIO(data), "rb") as w:
+        assert w.getnchannels() == 1 and w.getsampwidth() == 2
+        return np.frombuffer(w.readframes(w.getnframes()), "<i2"), \
+            w.getframerate()
+
+
+def test_health(served):
+    cfg, base = served
+    with urllib.request.urlopen(base + "/health", timeout=30) as r:
+        info = json.loads(r.read())
+    assert info["status"] == "ok"
+    assert info["speakers"] == ["a", "b"]
+    assert info["sample_rate"] == cfg.audio.sampling_rate
+    assert info["vocoder"] is True
+
+
+def test_synthesize_returns_wav(served):
+    cfg, base = served
+    with _post(base, "/synthesize",
+               {"text": "Hello there.", "speaker": "a",
+                "emotion": "amused", "level": 1}) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        pcm, sr = _wav_samples(r.read())
+    assert sr == cfg.audio.sampling_rate
+    assert len(pcm) > sr // 10  # at least 100 ms of audio came back
+
+
+def test_name_and_id_equivalent(served):
+    _, base = served
+    a = _wav_samples(_post(base, "/synthesize",
+                           {"text": "Same.", "speaker": "b",
+                            "emotion": 2}).read())[0]
+    b = _wav_samples(_post(base, "/synthesize",
+                           {"text": "Same.", "speaker": 1,
+                            "emotion": "angry"}).read())[0]
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("bad", [
+    {"speaker": "a", "emotion": "amused"},               # no text
+    {"text": "x", "speaker": "nope", "emotion": 0},       # unknown speaker
+    {"text": "x", "speaker": 0, "emotion": 99},           # emotion range
+])
+def test_validation_errors_are_400(served, bad):
+    _, base = served
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/synthesize", bad)
+    assert e.value.code == 400
+    assert "error" in json.loads(e.value.read())
+
+
+def test_streaming_chunked_pcm(served):
+    cfg, base = served
+    with _post(base, "/synthesize",
+               {"text": "Stream me now. Second sentence here.",
+                "speaker": "a", "emotion": "angry", "stream": True}) as r:
+        assert r.headers["Content-Type"] == "audio/L16"
+        assert int(r.headers["X-Sample-Rate"]) == cfg.audio.sampling_rate
+        data = r.read()  # urllib reassembles the chunked body
+    pcm = np.frombuffer(data, "<i2")
+    assert len(pcm) > cfg.audio.sampling_rate // 10
+
+
+def test_batch_shares_buckets(served):
+    cfg, base = served
+    reqs = [
+        {"text": "One short line.", "speaker": "a", "emotion": "amused",
+         "level": 1},
+        {"text": "Another line entirely.", "speaker": "b",
+         "emotion": "angry", "level": 0, "intensity_scale": 1.2},
+    ]
+    with _post(base, "/batch", {"requests": reqs}) as r:
+        out = json.loads(r.read())
+    assert out["sample_rate"] == cfg.audio.sampling_rate
+    assert len(out["wavs_b64"]) == 2
+    for b64 in out["wavs_b64"]:
+        pcm, _ = _wav_samples(base64.b64decode(b64))
+        assert len(pcm) > 0
+    # batch result equals the single-request result for the same input
+    single = _wav_samples(_post(base, "/synthesize", reqs[0]).read())[0]
+    batched = _wav_samples(base64.b64decode(out["wavs_b64"][0]))[0]
+    np.testing.assert_array_equal(single, batched)
