@@ -109,16 +109,18 @@ class MultiHeadSelfAttention(nn.Module):
             rate = 0.0 if deterministic else self.dropout
             if rate > 0.0:
                 key = self.make_rng("dropout")
-                seed = jax.random.key_data(key).reshape(-1)[-1:].astype(
+                base = jax.random.key_data(key).reshape(-1)[-1].astype(
                     jnp.int32
                 )
+                # per-example streams: stable under batch sharding/composition
+                seeds = base + jnp.arange(b, dtype=jnp.int32)
             else:
-                seed = jnp.zeros((1,), jnp.int32)
+                seeds = jnp.zeros((b,), jnp.int32)
             if key_valid is not None:
                 bias = (1.0 - key_valid.astype(jnp.float32)) * -1e9
             else:
                 bias = jnp.zeros((b, t), jnp.float32)
-            out = fused_attention(q, k, v, bias, seed, rate)
+            out = fused_attention(q, k, v, bias, seeds, rate)
         else:
             scale = 1.0 / np.sqrt(d)
             logits = (

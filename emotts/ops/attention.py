@@ -9,7 +9,7 @@ per (batch, head):
 * the (T, T) score/probability matrices live only in VMEM — nothing of
   O(T²) is ever written to HBM, forward or backward;
 * backward recomputes probabilities and the dropout mask (same in-kernel
-  PRNG seed) flash-attention-style, so the residuals are just q, k, v;
+  PRNG seeds) flash-attention-style, so the residuals are just q, k, v;
 * key-padding handled as an additive f32 bias row; fp32 softmax exactly
   like the reference path; probabilities cast to the compute dtype before
   dropout/AV, mirroring the unfused path when deterministic.
@@ -19,12 +19,19 @@ whole (512, 512) f32 score block is 1 MB — far under VMEM — so no online
 softmax tiling is needed; the win is purely HBM traffic (probs + dropout
 mask saves) and fusion.
 
-Dropout uses the TPU hardware PRNG (`pltpu.prng_seed` per (b, h) program)
-— streams differ from the flax path (exactly like ``train.rng_impl=rbg``
-already differs per backend), deterministic given the step-derived seed.
-The PRNG primitives are TPU-only, so CPU interpret-mode tests cover the
-deterministic path (rate=0); the dropout path is validated statistically
-on device (tests/test_fused_attention.py device mark).
+Dropout uses the TPU hardware PRNG seeded per (example, head) from a
+per-example int32 seed vector — streams differ from the flax path (exactly
+like ``train.rng_impl=rbg`` already differs per backend), deterministic
+given the step-derived seeds, and stable per example regardless of batch
+composition or sharding.  The PRNG primitives are TPU-only, so CPU
+interpret-mode tests cover the deterministic path (rate=0); the dropout
+path is validated statistically on device
+(tests/test_fused_attention.py device mark).
+
+SPMD: the kernels carry a ``custom_partitioning`` batch rule — under a
+pjit mesh the batch axis splits across devices and each shard runs its own
+grid (no gather); T/H/D are forced replicated by the partition callback.
+Verified exact on the virtual CPU mesh.
 """
 
 from __future__ import annotations
@@ -36,16 +43,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 _INTERPRET = False  # flipped by CPU tests
 
+# odd constant (golden-ratio hash) decorrelating per-head streams from the
+# per-example seed; int32 wrap-around is fine for seeding
+_HEAD_MIX = np.int32(-1640531527)
+
 
 def _seed_block(seed_ref):
-    """Seed the per-core PRNG uniquely per (b, h) grid program."""
-    b, h = pl.program_id(0), pl.program_id(1)
-    nh = pl.num_programs(1)
-    pltpu.prng_seed(seed_ref[0] + b * nh + h)
+    """Seed the per-core PRNG per (example, head) grid program."""
+    i, h = pl.program_id(0), pl.program_id(1)
+    pltpu.prng_seed(seed_ref[i] + h * _HEAD_MIX)
 
 
 def _keep_mask(shape, rate: float):
@@ -127,50 +139,121 @@ def _grid_spec(b, t, h, d, n_tensor_in: int, n_out: int):
     tensor = pl.BlockSpec((1, t, 1, d), lambda i, j, *_: (i, 0, j, 0))
     bias = pl.BlockSpec((1, t), lambda i, j, *_: (i, 0))
     return pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # the seed
+        num_scalar_prefetch=1,  # the per-example seeds
         grid=(b, h),
         in_specs=[tensor] * 3 + [bias] + [tensor] * (n_tensor_in - 3),
         out_specs=[tensor] * n_out if n_out > 1 else tensor,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def fused_attention(q, k, v, bias, seed, rate: float = 0.0,
-                    interpret: Optional[bool] = None):
-    """Fused multi-head self-attention.
-
-    q, k, v: (B, T, H, D) in the compute dtype; bias: (B, T) additive key
-    bias (0.0 valid, -1e9 pad) broadcast over queries and heads; seed:
-    (1,) int32 (dropout stream, unused at rate=0).  Returns (B, T, H, D).
-    """
-    out, _ = _fused_fwd(q, k, v, bias, seed, rate, interpret)
-    return out
-
-
-def _fused_fwd(q, k, v, bias, seed, rate, interpret):
+def _fwd_impl(q, k, v, bias, seeds, rate: float, interpret):
     b, t, h, d = q.shape
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(
             _fwd_kernel, scale=1.0 / float(np.sqrt(d)), rate=rate
         ),
         grid_spec=_grid_spec(b, t, h, d, n_tensor_in=3, n_out=1),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=_INTERPRET if interpret is None else interpret,
-    )(seed, q, k, v, bias)
-    return out, (q, k, v, bias, seed)
+    )(seeds, q, k, v, bias)
 
 
-def _fused_bwd(rate, interpret, residuals, g):
-    q, k, v, bias, seed = residuals
+def _bwd_impl(q, k, v, bias, seeds, g, rate: float, interpret):
     b, t, h, d = q.shape
-    dq, dk, dv = pl.pallas_call(
+    return tuple(pl.pallas_call(
         functools.partial(
             _bwd_kernel, scale=1.0 / float(np.sqrt(d)), rate=rate
         ),
         grid_spec=_grid_spec(b, t, h, d, n_tensor_in=4, n_out=3),
         out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
         interpret=_INTERPRET if interpret is None else interpret,
-    )(seed, q, k, v, bias, g)
+    )(seeds, q, k, v, bias, g))
+
+
+# ---------------------------------------------------------------------------
+# SPMD batch-partitioning rules: batch splits across devices, each shard
+# runs its own (local_b, h) grid; everything else is forced replicated.
+# ---------------------------------------------------------------------------
+
+
+def _batch_axis(arg_infos):
+    spec = getattr(arg_infos[0].sharding, "spec", None)
+    return spec[0] if spec else None
+
+
+def _shardings(mesh, b_axis, n_tensor: int, with_grad: bool):
+    tsr = NamedSharding(mesh, P(b_axis, None, None, None))
+    args = [tsr] * 3 + [NamedSharding(mesh, P(b_axis, None)),
+                        NamedSharding(mesh, P(b_axis))]
+    if with_grad:
+        args.append(tsr)
+    return tsr, tuple(args)
+
+
+def _fwd_infer(rate, interpret, mesh, arg_infos, result_infos):
+    return NamedSharding(mesh, P(_batch_axis(arg_infos), None, None, None))
+
+
+def _fwd_partition(rate, interpret, mesh, arg_infos, result_infos):
+    tsr, args = _shardings(mesh, _batch_axis(arg_infos), 3, with_grad=False)
+    fn = functools.partial(_fwd_impl, rate=rate, interpret=interpret)
+    return mesh, fn, tsr, args
+
+
+def _bwd_infer(rate, interpret, mesh, arg_infos, result_infos):
+    tsr = NamedSharding(mesh, P(_batch_axis(arg_infos), None, None, None))
+    return (tsr, tsr, tsr)
+
+
+def _bwd_partition(rate, interpret, mesh, arg_infos, result_infos):
+    tsr, args = _shardings(mesh, _batch_axis(arg_infos), 4, with_grad=True)
+    fn = functools.partial(_bwd_impl, rate=rate, interpret=interpret)
+    return mesh, fn, (tsr, tsr, tsr), args
+
+
+_fwd_part = custom_partitioning(_fwd_impl, static_argnums=(5, 6))
+_fwd_part.def_partition(
+    infer_sharding_from_operands=_fwd_infer,
+    partition=_fwd_partition,
+    sharding_rule="b t h d, b t h d, b t h d, b t, b -> b t h d",
+)
+
+_bwd_part = custom_partitioning(_bwd_impl, static_argnums=(6, 7))
+_bwd_part.def_partition(
+    infer_sharding_from_operands=_bwd_infer,
+    partition=_bwd_partition,
+    sharding_rule=("b t h d, b t h d, b t h d, b t, b, b t h d "
+                   "-> b t h d, b t h d, b t h d"),
+)
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_attention(q, k, v, bias, seeds, rate: float = 0.0,
+                    interpret: Optional[bool] = None):
+    """Fused multi-head self-attention.
+
+    q, k, v: (B, T, H, D) in the compute dtype; bias: (B, T) additive key
+    bias (0.0 valid, -1e9 pad) broadcast over queries and heads; seeds:
+    (B,) int32 per-example dropout streams (unused at rate=0).
+    Returns (B, T, H, D).
+    """
+    out, _ = _fused_fwd(q, k, v, bias, seeds, rate, interpret)
+    return out
+
+
+def _fused_fwd(q, k, v, bias, seeds, rate, interpret):
+    out = _fwd_part(q, k, v, bias, seeds, rate, interpret)
+    return out, (q, k, v, bias, seeds)
+
+
+def _fused_bwd(rate, interpret, residuals, g):
+    q, k, v, bias, seeds = residuals
+    dq, dk, dv = _bwd_part(q, k, v, bias, seeds, g, rate, interpret)
     return dq, dk, dv, None, None
 
 

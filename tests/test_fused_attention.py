@@ -47,7 +47,7 @@ def _inputs(b=2, t=64, h=2, d=48, dtype=jnp.float32, seed=0):
 
 def test_forward_matches_reference():
     q, k, v, bias = _inputs()
-    seed = jnp.zeros((1,), jnp.int32)
+    seed = jnp.zeros((q.shape[0],), jnp.int32)
     out = fa.fused_attention(q, k, v, bias, seed, 0.0)
     want = _ref_attention(q, k, v, bias, q.shape[-1])
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-6)
@@ -55,7 +55,7 @@ def test_forward_matches_reference():
 
 def test_backward_matches_reference():
     q, k, v, bias = _inputs()
-    seed = jnp.zeros((1,), jnp.int32)
+    seed = jnp.zeros((q.shape[0],), jnp.int32)
 
     def loss_f(q, k, v):
         return jnp.sum(jnp.sin(fa.fused_attention(q, k, v, bias, seed, 0.0)))
@@ -72,7 +72,7 @@ def test_backward_matches_reference():
 def test_padded_keys_get_zero_weight():
     """Outputs for valid queries must ignore padded keys entirely."""
     q, k, v, bias = _inputs(t=32)
-    seed = jnp.zeros((1,), jnp.int32)
+    seed = jnp.zeros((q.shape[0],), jnp.int32)
     out1 = fa.fused_attention(q, k, v, bias, seed, 0.0)
     # garbage in the padded key/value rows must not change valid outputs
     k2 = k.at[0, 16:].set(1e3)
@@ -141,21 +141,53 @@ def test_fs2_forward_with_fused_attention():
     )
 
 
+def test_sharded_mesh_correctness():
+    """Under a data-sharded pjit mesh the custom_partitioning batch rule
+    splits the kernel per shard — output stays data-sharded (no gather) and
+    forward/backward numerics are exact."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the 4+-device virtual CPU mesh")
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    q, k, v, bias = _inputs(b=8, t=32)
+    seed = jnp.zeros((q.shape[0],), jnp.int32)
+    sh = NamedSharding(mesh, P("data"))
+    qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+    bs = jax.device_put(bias, sh)
+    ss = jax.device_put(seed, NamedSharding(mesh, P("data")))
+    out = jax.jit(lambda *a: fa.fused_attention(*a, 0.0))(qs, ks, vs, bs, ss)
+    want = _ref_attention(q, k, v, bias, q.shape[-1])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-6)
+    # the custom_partitioning batch rule must keep the output SHARDED on
+    # data (no gather around the kernel)
+    assert out.sharding.spec and out.sharding.spec[0] == "data", out.sharding
+    # grads flow through the partitioned backward too
+    g = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+        jnp.sin(fa.fused_attention(q, k, v, bs, ss, 0.0).astype(jnp.float32))
+    ), argnums=(0, 1, 2)))(qs, ks, vs)
+    gr = jax.grad(lambda q, k, v: jnp.sum(
+        jnp.sin(_ref_attention(q, k, v, bias, q.shape[-1]).astype(jnp.float32))
+    ), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-6)
+
+
 @pytest.mark.skipif(not ON_DEVICE, reason="dropout path needs the TPU PRNG")
 def test_dropout_statistics_on_device():
     q, k, v, bias = _inputs(b=4, t=128)
     rate = 0.5
-    seed = jnp.asarray([7], jnp.int32)
+    seed = jnp.full((q.shape[0],), 7, jnp.int32)
     out = fa.fused_attention(q, k, v, bias, seed, rate)
     out2 = fa.fused_attention(q, k, v, bias, seed, rate)
     # same seed → deterministic
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
-    out3 = fa.fused_attention(q, k, v, bias, jnp.asarray([8], jnp.int32), rate)
+    out3 = fa.fused_attention(q, k, v, bias, jnp.full((q.shape[0],), 8, jnp.int32), rate)
     assert not np.allclose(np.asarray(out), np.asarray(out3))
     # unbiased in expectation: mean over many seeds ≈ deterministic output
     outs = [
         np.asarray(
-            fa.fused_attention(q, k, v, bias, jnp.asarray([s], jnp.int32), rate)
+            fa.fused_attention(q, k, v, bias, jnp.full((q.shape[0],), s * 101, jnp.int32), rate)
         )
         for s in range(40)
     ]
