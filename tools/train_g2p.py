@@ -320,6 +320,10 @@ def main():
                     "one held-out split")
     ap.add_argument("--swa-frac", type=float, default=0.25,
                     help="average weights over the last FRAC of epochs")
+    ap.add_argument("--final-eval-limit", type=int, default=None,
+                    help="subsample the held-out set for the post-training "
+                    "evaluation (the numpy decode is per-word sequential; "
+                    "full 20k+-pair sweeps can dominate wall time)")
     args = ap.parse_args()
 
     if args.eval_ensemble:
@@ -328,6 +332,10 @@ def main():
         return
 
     raw_params, swa_params, train_pairs, eval_pairs = train(args)
+    if args.final_eval_limit and len(eval_pairs) > args.final_eval_limit:
+        sub_rng = np.random.default_rng(11)
+        keep = sub_rng.permutation(len(eval_pairs))[: args.final_eval_limit]
+        eval_pairs = [eval_pairs[i] for i in keep]
     rng = np.random.default_rng(9)
     sample = [train_pairs[i] for i in rng.permutation(len(train_pairs))[:800]]
 
