@@ -274,7 +274,9 @@ class G2P:
             if b and _strip_stressless(b[-1]) in _SIBILANT:
                 return _s_suffix(b)
         if word.endswith("s") and not word.endswith("ss"):
-            b = base(word[:-1])
+            # the stem may itself be a derived form (nonsmokers, rematches,
+            # misjudgments): recurse once past the lexicon lookup
+            b = base(word[:-1]) or self._morph(word[:-1])
             if b:
                 return _s_suffix(b)
         if word.endswith("ied") and len(word) > 4:
@@ -340,7 +342,13 @@ class G2P:
                     return b + ph
         for prefix, ph in _NEUTRAL_PREFIXES:
             if word.startswith(prefix) and len(word) > len(prefix) + 2:
-                b = base(word[len(prefix) :])
+                rest = word[len(prefix) :]
+                # prefix + inflected stem (outmaneuvered, underestimated,
+                # unhappily): recurse so the suffix rules above apply to the
+                # remainder; word length strictly decreases, so this
+                # terminates.  Suffix rules run first, so plain inflections
+                # never reach here.
+                b = base(rest) or self._morph(rest)
                 if b:
                     return ph + b
         return None

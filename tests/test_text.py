@@ -176,3 +176,35 @@ def test_lexicon_band8_broad_coverage():
     # interpolated morphology still composes with band-8 roots
     assert g2p.word_to_phonemes("workshops")
     assert g2p.word_to_phonemes("recognized")
+
+
+def test_lexicon_band10_expansion():
+    """Band 10 roughly doubles the lexicon; broad everyday roots resolve
+    by exact lookup (reference counterpart: pretrained SoundChoice G2P,
+    fastspeech2/util.py:20-27)."""
+    g2p = G2P(neural=False)
+    assert len(g2p.lexicon) >= 9000
+    for w in ["abandon", "bachelor", "catalog", "dwindle", "elevator",
+              "fatigue", "gorgeous", "hesitant", "intricate", "jeopardy",
+              "kerosene", "lubricate", "maneuver", "nuisance", "obsolete",
+              "pedestrian", "quarantine", "reservoir", "skeleton", "tyrant",
+              "umbrella", "vinegar", "whimsical", "yacht", "zealous"]:
+        assert w in g2p.lexicon, w
+
+
+def test_g2p_morphology_combined_affixes():
+    """Prefix+suffix combinations decompose deterministically (one-level
+    recursion in _morph): prefix-outermost, suffix-outermost, and both."""
+    g2p = G2P(neural=False)
+    cases = {
+        "outmaneuvered": ["AW2", "T", "M", "AH0", "N", "UW1", "V", "ER0", "D"],
+        "unhappily": ["AH0", "N", "HH", "AE1", "P", "AH0", "L", "IY0"],
+        "overcooked": ["OW2", "V", "ER0", "K", "UH1", "K", "T"],
+        "nonsmokers": ["N", "AA2", "N", "S", "M", "OW1", "K", "ER0", "Z"],
+        "misjudgments": ["M", "IH0", "S", "JH", "AH1", "JH",
+                         "M", "AH0", "N", "T", "S"],
+        "rediscovering": ["R", "IY0", "D", "IH0", "S", "K", "AH1", "V",
+                          "ER0", "IH0", "NG"],
+    }
+    for word, expected in cases.items():
+        assert g2p.word_to_phonemes(word) == expected, word
