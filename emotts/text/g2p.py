@@ -14,6 +14,7 @@ import re
 from pathlib import Path
 from typing import Dict, List, Optional
 
+from emotts.text import homograph
 from emotts.text.cleaners import clean_text
 from emotts.text.vocab import filter_to_vocab, phoneme_to_sequence
 
@@ -356,6 +357,12 @@ class G2P:
     def word_to_phonemes(self, word: str) -> List[str]:
         if word in self.lexicon:
             return list(self.lexicon[word])
+        # inflected homograph-verb forms (recorded, closing, used) carry the
+        # verb stress/voicing; plain morphology against the lexicon's noun
+        # default would get them wrong — so this runs first
+        infl = homograph.resolve_word(word)
+        if infl:
+            return infl
         morph = self._morph(word)
         if morph:
             return morph
@@ -367,9 +374,14 @@ class G2P:
 
     def __call__(self, text: str) -> List[str]:
         text = clean_text(text, ["english_cleaners"])
+        words = _WORD_RE.findall(text)
         phones: List[str] = []
-        for word in _WORD_RE.findall(text):
-            phones.extend(self.word_to_phonemes(word))
+        for i, word in enumerate(words):
+            # sentence-level homograph disambiguation (the SoundChoice
+            # capability the reference gets from its pretrained model)
+            pron = homograph.resolve(words, i,
+                                     in_lexicon=word in self.lexicon)
+            phones.extend(pron if pron else self.word_to_phonemes(word))
         return filter_to_vocab(phones)
 
     def text_to_sequence(self, text: str) -> List[int]:

@@ -1,0 +1,324 @@
+"""Context-aware homograph disambiguation.
+
+The reference's G2P is SpeechBrain SoundChoice (fastspeech2/util.py:20-27),
+whose headline capability over plain lexicon lookup is *sentence-level
+homograph disambiguation* ("to record" vs "the record").  This module is the
+hermetic counterpart: a curated table of English homographs — stress-
+alternating noun/verb pairs (REcord/reCORD), final-consonant voicing pairs
+(use S/Z), ``-ate`` adjective/verb pairs (separate AH0 T / EY2 T) and
+vowel-quality homographs (read, live, wind, bow, tear, bass, dove) — plus a
+deterministic part-of-speech-lite tagger over the cleaned word sequence.
+
+Two entry points:
+
+* :func:`resolve` — context-aware: given the full word list and a position,
+  return the pronunciation for that occurrence, or ``None`` if the word is
+  not homograph-related (or no contextual evidence contradicts the lexicon
+  default, in which case the normal lexicon path applies).
+* :func:`resolve_word` — context-free: handles *inflected* forms whose stem
+  is a homograph verb (``recorded``, ``closing``, ``used``) where only the
+  verb reading exists; plain morphological decomposition against the lexicon
+  would wrongly inherit the noun/adjective stress or voicing
+  (record → R EH1 K ER0 D + AH0 D instead of R IH0 K AO1 R D AH0 D).
+
+Pronunciations follow CMUdict conventions, consistent with the bundled
+lexicon: for every word the default tag reproduces the lexicon entry, so
+behavior without contextual evidence is unchanged.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+# ---------------------------------------------------------------------------
+# Homograph table.
+#
+# Tags: "n" noun (or the noun-stress reading), "v" verb, "a" adjective
+# (when phonemically distinct from the noun reading), "past" past/participle
+# reading of tense homographs.  "d" names the default tag — always the
+# bundled-lexicon pronunciation when the word is in the lexicon.
+# Optional keys:
+#   "next": {next-word: tag} hard overrides ("close to" → n, "wound up" → past)
+#   "cues"/"cue_tag": nearby content words forcing a reading (lead + pipe)
+#   "er": tag used to derive agentive -er forms (recorder); omitted where
+#         -er is a comparative that keeps the base reading (closer).
+# ---------------------------------------------------------------------------
+
+H: Dict[str, Dict] = {
+    # --- tense / vowel-quality homographs ---
+    "read": dict(v="R IY1 D", past="R EH1 D", d="v"),
+    "live": dict(v="L IH1 V", a="L AY1 V", d="v"),
+    "wind": dict(n="W IH1 N D", v="W AY1 N D", d="n",
+                 next={"up": "v", "down": "v", "around": "v"}),
+    "wound": dict(n="W UW1 N D", past="W AW1 N D", d="n",
+                  next={"up": "past", "down": "past", "around": "past"}),
+    "bow": dict(v="B AW1", n="B OW1", d="v",
+                cues={"arrow", "arrows", "tie", "ribbon", "violin", "hair"},
+                cue_tag="n"),
+    "sow": dict(v="S OW1", n="S AW1", d="v"),
+    "dove": dict(n="D AH1 V", v="D OW1 V", d="n",
+                 next={"into": "v", "in": "v", "down": "v", "under": "v",
+                       "off": "v", "headfirst": "v"}),
+    "bass": dict(n="B EY1 S", a="B AE1 S", d="n",
+                 cues={"fish", "fishing", "lake", "river", "caught", "sea",
+                       "striped", "largemouth", "pound", "pounds"},
+                 cue_tag="a"),
+    "tear": dict(v="T EH1 R", n="T IH1 R", d="v",
+                 cues={"eye", "eyes", "cry", "crying", "cried", "cheek",
+                       "cheeks", "wept", "weep"},
+                 cue_tag="n"),
+    "lead": dict(v="L IY1 D", a="L EH1 D", d="v",
+                 cues={"pipe", "pipes", "paint", "poisoning", "pencil",
+                       "pencils", "metal", "heavy", "molten"},
+                 cue_tag="a"),
+    "minute": dict(n="M IH1 N AH0 T", a="M AY0 N UW1 T", d="n"),
+    # --- final-consonant voicing pairs (noun S / verb Z) ---
+    "use": dict(n="Y UW1 S", v="Y UW1 Z", d="n"),
+    "close": dict(a="K L OW1 S", v="K L OW1 Z", d="a", next={"to": "a"}),
+    "house": dict(n="HH AW1 S", v="HH AW1 Z", d="n"),
+    "excuse": dict(v="IH0 K S K Y UW1 Z", n="IH0 K S K Y UW1 S", d="v"),
+    "abuse": dict(v="AH0 B Y UW1 Z", n="AH0 B Y UW1 S", d="v"),
+    "refuse": dict(v="R IH0 F Y UW1 Z", n="R EH1 F Y UW2 Z", d="v"),
+    # --- noun/verb stress alternation (noun initial, verb final) ---
+    "record": dict(n="R EH1 K ER0 D", v="R IH0 K AO1 R D", d="n", er="v"),
+    "present": dict(n="P R EH1 Z AH0 N T", v="P R IH0 Z EH1 N T", d="n",
+                    er="v"),
+    "object": dict(n="AA1 B JH EH0 K T", v="AH0 B JH EH1 K T", d="n"),
+    "subject": dict(n="S AH1 B JH IH0 K T", v="S AH0 B JH EH1 K T", d="n"),
+    "project": dict(n="P R AA1 JH EH0 K T", v="P R AH0 JH EH1 K T", d="n",
+                    er="v"),
+    "permit": dict(v="P ER0 M IH1 T", n="P ER1 M IH0 T", d="v"),
+    "conduct": dict(n="K AA1 N D AH0 K T", v="K AH0 N D AH1 K T", d="n"),
+    "contract": dict(n="K AA1 N T R AE2 K T", v="K AH0 N T R AE1 K T",
+                     d="n", er="v"),
+    "content": dict(n="K AA1 N T EH0 N T", a="K AH0 N T EH1 N T", d="n"),
+    "convert": dict(v="K AH0 N V ER1 T", n="K AA1 N V ER0 T", d="v", er="v"),
+    "convict": dict(v="K AH0 N V IH1 K T", n="K AA1 N V IH0 K T", d="v"),
+    "desert": dict(n="D EH1 Z ER0 T", v="D IH0 Z ER1 T", d="n", er="v"),
+    "digest": dict(v="D AY0 JH EH1 S T", n="D AY1 JH EH0 S T", d="v"),
+    "escort": dict(n="EH1 S K AO0 R T", v="EH0 S K AO1 R T", d="n"),
+    "export": dict(n="EH1 K S P AO0 R T", v="IH0 K S P AO1 R T", d="n",
+                   er="v"),
+    "extract": dict(v="IH0 K S T R AE1 K T", n="EH1 K S T R AE2 K T", d="v",
+                    er="v"),
+    "import": dict(v="IH0 M P AO1 R T", n="IH1 M P AO2 R T", d="v", er="v"),
+    "incline": dict(v="IH0 N K L AY1 N", n="IH1 N K L AY0 N", d="v"),
+    "increase": dict(v="IH0 N K R IY1 S", n="IH1 N K R IY2 S", d="v"),
+    "decrease": dict(v="D IH0 K R IY1 S", n="D IY1 K R IY2 S", d="v"),
+    "insult": dict(v="IH0 N S AH1 L T", n="IH1 N S AH0 L T", d="v"),
+    "perfect": dict(a="P ER1 F IH0 K T", v="P ER0 F EH1 K T", d="a"),
+    "pervert": dict(v="P ER0 V ER1 T", n="P ER1 V ER0 T", d="v"),
+    "produce": dict(v="P R AH0 D UW1 S", n="P R OW1 D UW0 S", d="v",
+                    er="v"),
+    "progress": dict(n="P R AA1 G R EH2 S", v="P R AH0 G R EH1 S", d="n"),
+    "protest": dict(n="P R OW1 T EH2 S T", v="P R AH0 T EH1 S T", d="n",
+                    er="v"),
+    "rebel": dict(n="R EH1 B AH0 L", v="R IH0 B EH1 L", d="n"),
+    "refund": dict(n="R IY1 F AH0 N D", v="R IH0 F AH1 N D", d="n"),
+    "reject": dict(v="R IH0 JH EH1 K T", n="R IY1 JH EH0 K T", d="v"),
+    "research": dict(n="R IY1 S ER0 CH", v="R IY0 S ER1 CH", d="n", er="v"),
+    "suspect": dict(v="S AH0 S P EH1 K T", n="S AH1 S P EH2 K T", d="v"),
+    "survey": dict(v="S ER0 V EY1", n="S ER1 V EY2", d="v"),
+    "transfer": dict(v="T R AE0 N S F ER1", n="T R AE1 N S F ER0", d="v"),
+    "transplant": dict(v="T R AE0 N S P L AE1 N T",
+                       n="T R AE1 N S P L AE2 N T", d="v"),
+    "transport": dict(v="T R AE0 N S P AO1 R T",
+                      n="T R AE1 N S P AO0 R T", d="v", er="v"),
+    "upset": dict(a="AH0 P S EH1 T", n="AH1 P S EH2 T", d="a"),
+    "compound": dict(n="K AA1 M P AW0 N D", v="K AH0 M P AW1 N D", d="n"),
+    "compress": dict(v="K AH0 M P R EH1 S", n="K AA1 M P R EH0 S", d="v"),
+    "conflict": dict(n="K AA1 N F L IH0 K T", v="K AH0 N F L IH1 K T",
+                     d="n"),
+    "console": dict(n="K AA1 N S OW0 L", v="K AH0 N S OW1 L", d="n"),
+    "contest": dict(n="K AA1 N T EH0 S T", v="K AH0 N T EH1 S T", d="n"),
+    "contrast": dict(n="K AA1 N T R AE0 S T", v="K AH0 N T R AE1 S T",
+                     d="n"),
+    "converse": dict(v="K AH0 N V ER1 S", n="K AA1 N V ER0 S", d="v"),
+    "defect": dict(n="D IY1 F EH0 K T", v="D IH0 F EH1 K T", d="n"),
+    "discharge": dict(v="D IH0 S CH AA1 R JH", n="D IH1 S CH AA2 R JH",
+                      d="v"),
+    "exploit": dict(n="EH1 K S P L OY0 T", v="IH0 K S P L OY1 T", d="n"),
+    # --- -ate adjective(/noun) vs verb (AH0 T vs EY2 T) ---
+    "separate": dict(v="S EH1 P ER0 EY2 T", a="S EH1 P ER0 AH0 T", d="v"),
+    "graduate": dict(n="G R AE1 JH UW0 AH0 T", v="G R AE1 JH UW0 EY2 T",
+                     d="n"),
+    "estimate": dict(n="EH1 S T AH0 M AH0 T", v="EH1 S T AH0 M EY2 T",
+                     d="n"),
+    "deliberate": dict(a="D IH0 L IH1 B ER0 AH0 T",
+                       v="D IH0 L IH1 B ER0 EY2 T", d="a"),
+    "elaborate": dict(a="IH0 L AE1 B ER0 AH0 T", v="IH0 L AE1 B ER0 EY2 T",
+                      d="a"),
+    "appropriate": dict(a="AH0 P R OW1 P R IY0 AH0 T",
+                        v="AH0 P R OW1 P R IY0 EY2 T", d="a"),
+    "associate": dict(v="AH0 S OW1 S IY0 EY2 T", n="AH0 S OW1 S IY0 AH0 T",
+                      d="v"),
+    "advocate": dict(n="AE1 D V AH0 K AH0 T", v="AE1 D V AH0 K EY2 T",
+                     d="n"),
+    "alternate": dict(a="AO1 L T ER0 N AH0 T", v="AO1 L T ER0 N EY2 T",
+                      d="a"),
+    "moderate": dict(a="M AA1 D ER0 AH0 T", v="M AA1 D ER0 EY2 T", d="a"),
+    "intimate": dict(a="IH1 N T AH0 M AH0 T", v="IH1 N T AH0 M EY2 T",
+                     d="a"),
+    "delegate": dict(n="D EH1 L AH0 G AH0 T", v="D EH1 L AH0 G EY2 T",
+                     d="n"),
+    "duplicate": dict(n="D UW1 P L AH0 K AH0 T", v="D UW1 P L AH0 K EY2 T",
+                      d="n"),
+    "aggregate": dict(n="AE1 G R AH0 G AH0 T", v="AE1 G R AH0 G EY2 T",
+                      d="n"),
+    "coordinate": dict(v="K OW0 AO1 R D AH0 N EY2 T",
+                       n="K OW0 AO1 R D AH0 N AH0 T", d="v"),
+    "articulate": dict(a="AA0 R T IH1 K Y AH0 L AH0 T",
+                       v="AA0 R T IH1 K Y AH0 L EY2 T", d="a"),
+    "approximate": dict(a="AH0 P R AA1 K S AH0 M AH0 T",
+                        v="AH0 P R AA1 K S AH0 M EY2 T", d="a"),
+}
+
+# ---------------------------------------------------------------------------
+# POS-lite context tagger (over cleaned, lowercased word sequences)
+# ---------------------------------------------------------------------------
+
+_PERFECT = frozenset(
+    "have has had having is are was were be been being am".split()
+)
+# adverbs that may sit between auxiliary and participle ("has just read")
+_ADV_GAP = frozenset(
+    "been just already never ever not only also recently finally "
+    "barely hardly since".split()
+)
+_BE_DEGREE = frozenset(
+    "is are was were be been being am isn't aren't wasn't weren't "
+    "very quite so too really fairly pretty rather extremely highly "
+    "entirely completely totally seems seemed looks looked sounds "
+    "sounded feels felt remains remained became becomes stay stays "
+    "stayed keep keeps kept".split()
+)
+_NOUN_PREV = frozenset(
+    "the a an this that these those my your his her its our their no "
+    "some any each every another such one two three more most many few "
+    "several both all what which whose of in on at by for with from "
+    "into about over under during without after before between against "
+    "new old good great public own first second last next best main "
+    "final official".split()
+)
+_VERB_PREV = frozenset(
+    "to will would can could shall should may might must do does did "
+    "don't doesn't didn't won't can't cannot couldn't wouldn't "
+    "shouldn't mustn't let lets please i you we they he she it who "
+    "not never always often usually sometimes then".split()
+)
+# a following determiner/object pronoun suggests a transitive verb
+_OBJ_NEXT = frozenset(
+    "the a an his her their my your its our them him me us it this "
+    "that these those all every each some any what whatever how".split()
+)
+
+_WORD_RE = re.compile(r"[a-z']+")
+
+
+def _choose(entry: Dict, words: List[str], i: int,
+            allow_past: bool = True) -> Tuple[str, bool]:
+    """(tag, had-contextual-evidence) for ``words[i]`` given ``entry``."""
+    prev = words[i - 1] if i > 0 else ""
+    prev2 = words[i - 2] if i > 1 else ""
+    nxt = words[i + 1] if i + 1 < len(words) else ""
+
+    cues = entry.get("cues")
+    if cues and any(w in cues for w in words[max(0, i - 3): i + 4]):
+        return entry["cue_tag"], True
+    if allow_past and "past" in entry and (
+        prev in _PERFECT or (prev2 in _PERFECT and prev in _ADV_GAP)
+    ):
+        return "past", True
+    nrules = entry.get("next")
+    if nrules and nxt in nrules:
+        return nrules[nxt], True
+    if prev == "to" and "v" in entry:
+        return "v", True
+    if prev in _BE_DEGREE:
+        for tag in ("a", "past" if allow_past else "", "n"):
+            if tag and tag in entry:
+                return tag, True
+    if prev in _NOUN_PREV:
+        for tag in ("n", "a"):
+            if tag in entry:
+                return tag, True
+    if prev in _VERB_PREV and "v" in entry:
+        return "v", True
+    if nxt in _OBJ_NEXT and "v" in entry:
+        return "v", True
+    return entry["d"], False
+
+
+def _s_form(pron: List[str]) -> List[str]:
+    from emotts.text.g2p import _s_suffix
+
+    return _s_suffix(pron)
+
+
+def _stem_candidates(stem: str) -> List[str]:
+    """Possible base words for an affix-stripped stem (e-drop, degemination)."""
+    cands = [stem, stem + "e"]
+    if len(stem) > 2 and stem[-1] == stem[-2]:
+        cands.append(stem[:-1])
+    return cands
+
+
+def resolve_word(word: str) -> Optional[List[str]]:
+    """Context-free resolution of *inflected* homograph-stem forms.
+
+    ``recorded``/``closing``/``used``/``recorder(s)`` have only the verb
+    reading, so they are safe without context; plain lexicon morphology
+    would inherit the wrong (noun/adjective) stress or voicing.  Returns
+    ``None`` for anything else — including bare homographs, which the
+    lexicon default (or :func:`resolve`, with context) handles.
+    """
+    from emotts.text.g2p import _ed_suffix
+
+    for sfx in ("ed", "ing", "ers", "er"):
+        if not word.endswith(sfx) or len(word) <= len(sfx) + 2:
+            continue
+        for stem in _stem_candidates(word[: len(word) - len(sfx)]):
+            entry = H.get(stem)
+            if entry is None or "v" not in entry:
+                continue
+            if sfx in ("er", "ers") and entry.get("er") != "v":
+                continue  # comparative (closer), not agentive (recorder)
+            base = entry["v"].split()
+            if sfx == "ed":
+                return _ed_suffix(base)
+            if sfx == "ing":
+                return base + ["IH0", "NG"]
+            agent = base + ["ER0"]
+            return _s_form(agent) if sfx == "ers" else agent
+    return None
+
+
+def resolve(words: List[str], i: int,
+            in_lexicon: bool = True) -> Optional[List[str]]:
+    """Context-aware pronunciation for ``words[i]``, or ``None``.
+
+    ``None`` means: not a homograph, or no contextual evidence and the
+    caller's lexicon already has the (identical) default — in which case the
+    normal lookup chain should proceed.  Handles plural/3rd-person ``-s``
+    forms by resolving the stem and applying the voicing rule ("she records"
+    vs "the records", "their lives" vs "he lives").
+    """
+    word = words[i]
+    entry = H.get(word)
+    s_form = False
+    if entry is None and word.endswith("s") and not word.endswith("ss"):
+        entry = H.get(word[:-1])
+        s_form = entry is not None
+    if entry is None:
+        return resolve_word(word)
+    tag, contextual = _choose(entry, words, i, allow_past=not s_form)
+    if not contextual and in_lexicon:
+        return None  # defer to the lexicon's (identical) default
+    pron = entry[tag].split()
+    return _s_form(pron) if s_form else pron
+
+
+def words_of(text: str) -> List[str]:
+    """Tokenize cleaned text the same way the G2P driver does."""
+    return _WORD_RE.findall(text)

@@ -1,0 +1,124 @@
+"""Sentence-level homograph disambiguation (emotts/text/homograph.py).
+
+The reference gets this capability from the pretrained SoundChoice G2P
+(fastspeech2/util.py:20-27); the rebuild uses a curated homograph table plus
+a deterministic context tagger.  These tests pin the table's well-formedness
+and the tagger's behavior on the canonical contrast pairs.
+"""
+
+import pytest
+
+from emotts.text.g2p import G2P
+from emotts.text.homograph import H, resolve, resolve_word, words_of
+from emotts.text.vocab import VALID_TOKENS
+
+
+@pytest.fixture(scope="module")
+def g2p():
+    return G2P(neural=False)
+
+
+def test_table_wellformed():
+    valid = set(VALID_TOKENS)
+    for word, entry in H.items():
+        assert entry["d"] in entry, word
+        for tag, pron in entry.items():
+            if tag in ("d", "next", "cues", "cue_tag", "er"):
+                continue
+            phones = pron.split()
+            assert all(p in valid for p in phones), (word, tag, phones)
+            # exactly one primary stress per reading
+            assert sum(p.endswith("1") for p in phones) == 1, (word, tag)
+        if "cues" in entry:
+            assert entry["cue_tag"] in entry, word
+
+
+def test_defaults_match_lexicon(g2p):
+    """No-context behavior is unchanged: default tag == lexicon entry."""
+    for word, entry in H.items():
+        if word in g2p.lexicon:
+            assert entry[entry["d"]].split() == g2p.lexicon[word], word
+
+
+@pytest.mark.parametrize(
+    "text,expect",
+    [
+        # noun/verb stress alternation
+        ("We need to record the show.", "R IH0 K AO1 R D"),
+        ("She broke the world record.", "R EH1 K ER0 D"),
+        ("She records a record.", "R IH0 K AO1 R D Z"),
+        ("The records were lost.", "R EH1 K ER0 D Z"),
+        ("Present the award now.", "P R IH0 Z EH1 N T"),
+        ("A birthday present.", "P R EH1 Z AH0 N T"),
+        ("I object to that.", "AH0 B JH EH1 K T"),
+        ("A strange object appeared.", "AA1 B JH EH0 K T"),
+        # tense homograph incl. passive
+        ("I read the book.", "R IY1 D"),
+        ("He has read the book.", "R EH1 D"),
+        ("It was read aloud.", "R EH1 D"),
+        # vowel-quality
+        ("They live here.", "L IH1 V"),
+        ("A live concert.", "L AY1 V"),
+        ("Their lives were changed.", "L AY1 V Z"),
+        ("He lives here.", "L IH1 V Z"),
+        ("The wind blew.", "W IH1 N D"),
+        ("Wind up the clock.", "W AY1 N D"),
+        ("He wound up the clock.", "W AW1 N D"),
+        ("The wound healed.", "W UW1 N D"),
+        ("Lead pipes are toxic.", "L EH1 D"),
+        ("They lead the way.", "L IY1 D"),
+        ("Tears rolled down her cheek.", "T IH1 R Z"),
+        ("He tears the paper.", "T EH1 R Z"),
+        # voicing pairs
+        ("Close the door.", "K L OW1 Z"),
+        ("We are close to the end.", "K L OW1 S"),
+        ("We use it.", "Y UW1 Z"),
+        ("The use of force.", "Y UW1 S"),
+        # -ate adjective vs verb
+        ("A separate issue.", "S EH1 P ER0 AH0 T"),
+        ("To separate them.", "S EH1 P ER0 EY2 T"),
+        ("An estimate of the cost.", "EH1 S T AH0 M AH0 T"),
+        ("We estimate the cost.", "EH1 S T AH0 M EY2 T"),
+        ("A graduate student.", "G R AE1 JH UW0 AH0 T"),
+        # copula → adjective reading
+        ("He is content.", "K AH0 N T EH1 N T"),
+        ("The content of the book.", "K AA1 N T EH0 N T"),
+        ("Everyone is present.", "P R EH1 Z AH0 N T"),
+    ],
+)
+def test_context_disambiguation(g2p, text, expect):
+    out = " ".join(g2p(text))
+    assert expect in out, f"{text!r} -> {out!r}"
+
+
+def test_inflected_verb_stems(g2p):
+    """ed/ing/er forms take the verb reading even without context — the
+    plain morphology path would inherit the noun default."""
+    assert g2p.word_to_phonemes("recorded") == \
+        ["R", "IH0", "K", "AO1", "R", "D", "AH0", "D"]
+    assert g2p.word_to_phonemes("recording") == \
+        ["R", "IH0", "K", "AO1", "R", "D", "IH0", "NG"]
+    assert g2p.word_to_phonemes("recorders") == \
+        ["R", "IH0", "K", "AO1", "R", "D", "ER0", "Z"]
+    assert g2p.word_to_phonemes("used") == ["Y", "UW1", "Z", "D"]
+    assert g2p.word_to_phonemes("closing") == ["K", "L", "OW1", "Z", "IH0", "NG"]
+    assert g2p.word_to_phonemes("separated") == \
+        ["S", "EH1", "P", "ER0", "EY2", "T", "AH0", "D"]
+    # comparative -er keeps the base (adjective) reading: no agentive flag
+    assert resolve_word("closer") is None
+    assert g2p.word_to_phonemes("closer") == ["K", "L", "OW1", "S", "ER0"]
+
+
+def test_no_context_defers_to_lexicon():
+    """Without contextual evidence, in-lexicon words resolve to None so the
+    normal lookup chain (and its default) applies."""
+    words = words_of("record")
+    assert resolve(words, 0, in_lexicon=True) is None
+    # out-of-lexicon homographs still get their default reading
+    assert resolve(["alternate"], 0, in_lexicon=False) == \
+        ["AO1", "L", "T", "ER0", "N", "AH0", "T"]
+
+
+def test_non_homograph_untouched(g2p):
+    assert resolve(["hello", "world"], 0, in_lexicon=True) is None
+    assert resolve_word("walking") is None

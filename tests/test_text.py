@@ -192,6 +192,24 @@ def test_lexicon_band10_expansion():
         assert w in g2p.lexicon, w
 
 
+def test_lexicon_band11_expansion():
+    """Band 11: broad general-vocabulary expansion (+~600 roots) keeps the
+    enlarged tier-6 word list at 100% deterministic coverage."""
+    g2p = G2P(neural=False)
+    assert len(g2p.lexicon) >= 9600
+    for w in ["apostrophe", "boulevard", "chameleon", "diaphragm",
+              "encyclopedia", "fuselage", "gargoyle", "hieroglyph",
+              "isotope", "juggernaut", "kaleidoscope", "lubricant",
+              "millennium", "nutrient", "oligarchy", "paraphernalia",
+              "quagmire", "requiem", "solstice", "tourniquet", "urchin",
+              "ventricle", "wolverine", "yew", "zither"]:
+        assert w in g2p.lexicon, w
+    # morphology composes with band-11 roots
+    assert g2p.word_to_phonemes("filters") == \
+        ["F", "IH1", "L", "T", "ER0", "Z"]
+    assert g2p.word_to_phonemes("cuddled") == ["K", "AH1", "D", "AH0", "L", "D"]
+
+
 def test_g2p_morphology_combined_affixes():
     """Prefix+suffix combinations decompose deterministically (one-level
     recursion in _morph): prefix-outermost, suffix-outermost, and both."""

@@ -28,6 +28,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from emotts.text import g2p as g2p_mod
+from emotts.text import homograph as ng_homograph
 from emotts.text import neural_g2p as ng
 from emotts.text.g2p import G2P, letter_to_sound
 
@@ -83,7 +84,9 @@ def build_pairs(seed: int = 0, holdout_frac: float = 0.1):
         for d in _derived_forms(w):
             if d in g2p.lexicon:
                 continue  # real entry wins; avoid duplicate conflicting targets
-            morph = g2p._morph(d)
+            # homograph verb stems first: 'used'/'closed'/'recorded' must
+            # train on the verb voicing/stress, not the noun default
+            morph = ng_homograph.resolve_word(d) or g2p._morph(d)
             if morph is None:
                 continue
             if ng.encode_word(d) is None or ng.encode_phonemes(morph) is None:
