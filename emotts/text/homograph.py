@@ -139,6 +139,26 @@ H: Dict[str, Dict] = {
     "discharge": dict(v="D IH0 S CH AA1 R JH", n="D IH1 S CH AA2 R JH",
                       d="v"),
     "exploit": dict(n="EH1 K S P L OY0 T", v="IH0 K S P L OY1 T", d="n"),
+    "combat": dict(n="K AA1 M B AE2 T", v="K AH0 M B AE1 T", d="n"),
+    "compact": dict(a="K AH0 M P AE1 K T", n="K AA1 M P AE2 K T", d="a"),
+    "implant": dict(v="IH0 M P L AE1 N T", n="IH1 M P L AE2 N T", d="v"),
+    "imprint": dict(n="IH1 M P R IH0 N T", v="IH0 M P R IH1 N T", d="n"),
+    "intern": dict(n="IH1 N T ER0 N", v="IH0 N T ER1 N", d="n"),
+    "perfume": dict(v="P ER0 F Y UW1 M", n="P ER1 F Y UW2 M", d="v"),
+    "refill": dict(v="R IY0 F IH1 L", n="R IY1 F IH2 L", d="v"),
+    "rerun": dict(v="R IY0 R AH1 N", n="R IY1 R AH2 N", d="v"),
+    "retake": dict(v="R IY0 T EY1 K", n="R IY1 T EY2 K", d="v"),
+    "recount": dict(v="R IY0 K AW1 N T", n="R IY1 K AW2 N T", d="v"),
+    "resume": dict(v="R IH0 Z UW1 M", n="R EH1 Z AH0 M EY2", d="v"),
+    "discount": dict(n="D IH1 S K AW0 N T", v="D IH0 S K AW1 N T", d="n"),
+    "overflow": dict(v="OW2 V ER0 F L OW1", n="OW1 V ER0 F L OW2", d="v"),
+    "insert": dict(v="IH0 N S ER1 T", n="IH1 N S ER2 T", d="v"),
+    "upgrade": dict(v="AH0 P G R EY1 D", n="AH1 P G R EY2 D", d="v"),
+    "attribute": dict(n="AE1 T R AH0 B Y UW2 T",
+                      v="AH0 T R IH1 B Y UW0 T", d="n"),
+    # 'proceeds' is its own homograph (stem 'proceed' is not): the noun
+    # ("the proceeds") shifts stress
+    "proceeds": dict(v="P R OW0 S IY1 D Z", n="P R OW1 S IY0 D Z", d="v"),
     # --- -ate adjective(/noun) vs verb (AH0 T vs EY2 T) ---
     "separate": dict(v="S EH1 P ER0 EY2 T", a="S EH1 P ER0 AH0 T", d="v"),
     "graduate": dict(n="G R AE1 JH UW0 AH0 T", v="G R AE1 JH UW0 EY2 T",
@@ -210,7 +230,13 @@ _VERB_PREV = frozenset(
 # a following determiner/object pronoun suggests a transitive verb
 _OBJ_NEXT = frozenset(
     "the a an his her their my your its our them him me us it this "
-    "that these those all every each some any what whatever how".split()
+    "that these those all every each some any what whatever how "
+    "everything anything something nothing everyone anyone someone".split()
+)
+# determiners two words back suggest a noun compound ("a software upgrade",
+# "the tax increase") when nothing closer contradicts it
+_DET_PREV2 = frozenset(
+    "a an the this that my your his her its our their".split()
 )
 
 _WORD_RE = re.compile(r"[a-z']+")
@@ -240,6 +266,11 @@ def _choose(entry: Dict, words: List[str], i: int,
             if tag and tag in entry:
                 return tag, True
     if prev in _NOUN_PREV:
+        # with both noun and adjective readings ("a compact" / "a compact
+        # car"), a content word after points at the adjective
+        if ("n" in entry and "a" in entry and not cues
+                and nxt and nxt not in _NOUN_PREV and nxt not in _VERB_PREV):
+            return "a", True
         for tag in ("n", "a"):
             if tag in entry:
                 return tag, True
@@ -247,6 +278,11 @@ def _choose(entry: Dict, words: List[str], i: int,
         return "v", True
     if nxt in _OBJ_NEXT and "v" in entry:
         return "v", True
+    if (prev2 in _DET_PREV2 and prev not in _VERB_PREV
+            and nxt not in _OBJ_NEXT):
+        for tag in ("n", "a"):
+            if tag in entry:
+                return tag, True
     return entry["d"], False
 
 

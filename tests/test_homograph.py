@@ -84,6 +84,21 @@ def test_defaults_match_lexicon(g2p):
         ("He is content.", "K AH0 N T EH1 N T"),
         ("The content of the book.", "K AA1 N T EH0 N T"),
         ("Everyone is present.", "P R EH1 Z AH0 N T"),
+        # second-wave entries
+        ("We will resume the meeting.", "R IH0 Z UW1 M"),
+        ("Send me your resume.", "R EH1 Z AH0 M EY2"),
+        ("They offer a discount.", "D IH1 S K AW0 N T"),
+        ("They discount the claims.", "D IH0 S K AW1 N T"),
+        ("The proceeds go to charity.", "P R OW1 S IY0 D Z"),
+        ("An attribute of success.", "AE1 T R AH0 B Y UW2 T"),
+        ("It was attributed to him.", "AH0 T R IH1 B Y UW0 T AH0 D"),
+        # noun-compound evidence: determiner two back
+        ("A software upgrade.", "AH1 P G R EY2 D"),
+        ("A tax increase.", "IH1 N K R IY2 S"),
+        # det + content word after → adjective reading, not the noun
+        ("A compact car.", "K AH0 M P AE1 K T"),
+        # det-two-back must NOT override a following object (still a verb)
+        ("The man records everything.", "R IH0 K AO1 R D Z"),
     ],
 )
 def test_context_disambiguation(g2p, text, expect):
