@@ -20,6 +20,9 @@ Entry points mirror the reference's per-package scripts (SURVEY.md §1 L3b):
                    teacher-forced MCD, free-running DTW-MCD, duration
                    accuracy, per (speaker, emotion) → eval.json (the
                    reference evaluates only visually)
+  g2p            → (new) debug surface: per-word pronunciation trace with
+                   the resolving tier (homograph/lexicon/morphology/
+                   neural/lts) for --text or inference.text
 """
 
 from __future__ import annotations
@@ -48,6 +51,7 @@ def _parse(argv):
             "train-vocoder",
             "evaluate",
             "serve",
+            "g2p",
         ],
     )
     parser.add_argument("--config", default=None, help="YAML config path")
@@ -92,6 +96,9 @@ def _parse(argv):
                         help="(serve) bind address")
     parser.add_argument("--port", type=int, default=8080,
                         help="(serve) TCP port (0 = pick a free one)")
+    parser.add_argument("--text", default=None,
+                        help="(g2p) text to phonemize (default: "
+                        "inference.text from the config)")
     parser.add_argument("--stream", action="store_true",
                         help="(synthesize --text-file) streaming mode: vocode "
                         "in chunks and report time-to-first-audio")
@@ -348,6 +355,15 @@ def main(argv=None) -> int:
             if os.path.abspath(args.intensity) != os.path.abspath(dst):
                 shutil.copyfile(args.intensity, dst)
             print(f"[import-reference] intensity bank {bank.shape} → {dst}")
+
+    elif args.command == "g2p":
+        from emotts.text.g2p import G2P
+
+        text = args.text if args.text is not None else cfg.inference.text
+        rows = G2P().explain(text)
+        for word, tier, phones in rows:
+            print(f"{word:>24s}  {tier:<10s}  {' '.join(phones)}")
+        print("[g2p]", " ".join(p for _, _, ph in rows for p in ph))
 
     return 0
 

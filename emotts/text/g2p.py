@@ -372,17 +372,42 @@ class G2P:
                 return hyp
         return letter_to_sound(word)
 
-    def __call__(self, text: str) -> List[str]:
+    def explain(self, text: str) -> List[tuple]:
+        """Per-word resolution trace: ``[(word, tier, phones), ...]``.
+
+        Tier is one of ``homograph`` (context-aware table hit or inflected
+        homograph stem), ``lexicon``, ``morphology``, ``neural``, ``lts`` —
+        in lookup-chain order.  Drives the ``g2p`` CLI verb and keeps
+        ``__call__`` and the debug surface on one code path.
+        """
         text = clean_text(text, ["english_cleaners"])
         words = _WORD_RE.findall(text)
-        phones: List[str] = []
+        out: List[tuple] = []
         for i, word in enumerate(words):
             # sentence-level homograph disambiguation (the SoundChoice
             # capability the reference gets from its pretrained model)
             pron = homograph.resolve(words, i,
                                      in_lexicon=word in self.lexicon)
-            phones.extend(pron if pron else self.word_to_phonemes(word))
-        return filter_to_vocab(phones)
+            if pron is not None:
+                tier = "homograph"
+            elif word in self.lexicon:
+                tier, pron = "lexicon", list(self.lexicon[word])
+            elif (infl := homograph.resolve_word(word)) is not None:
+                tier, pron = "homograph", infl
+            elif (morph := self._morph(word)) is not None:
+                tier, pron = "morphology", morph
+            else:
+                hyp = (self.neural.word_to_phonemes(word)
+                       if self.neural is not None else None)
+                if hyp:
+                    tier, pron = "neural", hyp
+                else:
+                    tier, pron = "lts", letter_to_sound(word)
+            out.append((word, tier, filter_to_vocab(pron)))
+        return out
+
+    def __call__(self, text: str) -> List[str]:
+        return [p for _, _, ph in self.explain(text) for p in ph]
 
     def text_to_sequence(self, text: str) -> List[int]:
         """Reference ``text2sequence`` (fastspeech2/util.py:14-17)."""

@@ -137,3 +137,21 @@ def test_no_context_defers_to_lexicon():
 def test_non_homograph_untouched(g2p):
     assert resolve(["hello", "world"], 0, in_lexicon=True) is None
     assert resolve_word("walking") is None
+
+
+def test_explain_tiers(g2p):
+    rows = g2p.explain("We record unhappily.")
+    assert [(w, t) for w, t, _ in rows] == [
+        ("we", "lexicon"), ("record", "homograph"),
+        ("unhappily", "morphology")]
+    # explain() and __call__ are the same chain
+    assert [p for _, _, ph in rows for p in ph] == g2p("We record unhappily.")
+
+
+def test_g2p_cli_verb(capsys):
+    from emotts.cli.main import main
+
+    assert main(["g2p", "--text", "Close the door."]) == 0
+    out = capsys.readouterr().out
+    assert "homograph" in out and "K L OW1 Z" in out
+    assert out.strip().splitlines()[-1].startswith("[g2p]")
