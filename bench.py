@@ -23,6 +23,50 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 
+def wait_for_device(max_wait_s: float = 2400.0, probe_timeout_s: float = 90.0,
+                    interval_s: float = 120.0) -> None:
+    """Block until a JAX backend answers, polling in a subprocess.
+
+    The axon tunnel can be down for stretches (see BENCH_NOTES.md); a bare
+    ``jax.devices()`` then hangs *in-process* with no recourse.  Probing in
+    a killable subprocess lets the benchmark wait for recovery instead of
+    hanging opaquely, and fail loudly (non-zero exit, message on stderr —
+    never a fake metric line) if the tunnel stays dead past ``max_wait_s``.
+    CPU runs (JAX_PLATFORMS=cpu) skip the probe.
+    """
+    import subprocess
+    import sys
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; assert jax.devices()"],
+                timeout=probe_timeout_s, capture_output=True,
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"[bench] device reachable after {attempt} probes",
+                          file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print(
+                f"[bench] no JAX device after {max_wait_s:.0f}s "
+                "(axon tunnel down?) — aborting without a metric",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
+        print(f"[bench] device probe {attempt} failed; retrying in "
+              f"{interval_s:.0f}s", file=sys.stderr)
+        time.sleep(interval_s)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -304,6 +348,7 @@ def bench_cli_path() -> None:
 if __name__ == "__main__":
     import sys
 
+    wait_for_device()
     if "--cli-path" in sys.argv:
         bench_cli_path()
     elif "--ttfa" in sys.argv:
