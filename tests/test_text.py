@@ -210,6 +210,25 @@ def test_lexicon_band11_expansion():
     assert g2p.word_to_phonemes("cuddled") == ["K", "AH1", "D", "AH0", "L", "D"]
 
 
+def test_lexicon_band12_expansion():
+    """Band 12: verbs/adjectives/nationalities/computing (+~570 roots);
+    the tier-7 word list stays at 100% deterministic coverage."""
+    g2p = G2P(neural=False)
+    assert len(g2p.lexicon) >= 10800
+    for w in ["alleviate", "brusque", "circumspect", "despondent",
+              "ephemeral", "formulate", "gregarious", "hypothesize",
+              "intrepid", "juxtapose", "lethargic", "meticulous",
+              "nonchalant", "ostracize", "pragmatic", "quixotic",
+              "resilient", "steadfast", "tenacious", "ubiquitous",
+              "vehement", "wield", "portuguese", "bandwidth", "username"]:
+        assert w in g2p.lexicon, w
+    # morphology composes with band-12 roots
+    assert g2p.word_to_phonemes("wielded") == \
+        ["W", "IY1", "L", "D", "AH0", "D"]
+    assert g2p.word_to_phonemes("formulating") == \
+        ["F", "AO1", "R", "M", "Y", "AH0", "L", "EY2", "T", "IH0", "NG"]
+
+
 def test_g2p_morphology_combined_affixes():
     """Prefix+suffix combinations decompose deterministically (one-level
     recursion in _morph): prefix-outermost, suffix-outermost, and both."""
