@@ -18,7 +18,7 @@ from emotts.text import homograph
 from emotts.text.cleaners import clean_text
 from emotts.text.vocab import filter_to_vocab, phoneme_to_sequence
 
-_WORD_RE = re.compile(r"[a-z']+")
+_WORD_RE = homograph.WORD_RE  # single shared tokenizer (see homograph.py)
 
 # ---------------------------------------------------------------------------
 # Rule-based letter-to-sound fallback.

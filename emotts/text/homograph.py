@@ -49,7 +49,7 @@ H: Dict[str, Dict] = {
     # --- tense / vowel-quality homographs ---
     "read": dict(v="R IY1 D", past="R EH1 D", d="v"),
     "live": dict(v="L IH1 V", a="L AY1 V", d="v"),
-    "wind": dict(n="W IH1 N D", v="W AY1 N D", d="n",
+    "wind": dict(n="W IH1 N D", v="W AY1 N D", d="n", ed="n",
                  next={"up": "v", "down": "v", "around": "v"}),
     "wound": dict(n="W UW1 N D", past="W AW1 N D", d="n",
                   next={"up": "past", "down": "past", "around": "past"}),
@@ -58,17 +58,23 @@ H: Dict[str, Dict] = {
                 cue_tag="n"),
     "sow": dict(v="S OW1", n="S AW1", d="v"),
     "dove": dict(n="D AH1 V", v="D OW1 V", d="n",
-                 next={"into": "v", "in": "v", "down": "v", "under": "v",
+                 next={"into": "v", "down": "v", "under": "v",
                        "off": "v", "headfirst": "v"}),
     "bass": dict(n="B EY1 S", a="B AE1 S", d="n",
                  cues={"fish", "fishing", "lake", "river", "caught", "sea",
                        "striped", "largemouth", "pound", "pounds"},
                  cue_tag="a"),
-    "tear": dict(v="T EH1 R", n="T IH1 R", d="v",
+    # tear/wind/lead have IRREGULAR verb pasts (tore/wound/led), so their
+    # regular -ed surface forms belong to the OTHER reading: teared (up)
+    # T IH1 R D, winded W IH1 N D IH0 D, leaded (glass) L EH1 D IH0 D —
+    # the "ed" key routes resolve_word's -ed derivation there.
+    "tear": dict(v="T EH1 R", n="T IH1 R", d="v", ed="n",
                  cues={"eye", "eyes", "cry", "crying", "cried", "cheek",
                        "cheeks", "wept", "weep"},
                  cue_tag="n"),
-    "lead": dict(v="L IY1 D", a="L EH1 D", d="v",
+    # the position/role noun and the verb share L IY1 D; only the metal
+    # ("a" tag) differs, reached via cues or copula — never bare "the lead"
+    "lead": dict(n="L IY1 D", v="L IY1 D", a="L EH1 D", d="n", ed="a",
                  cues={"pipe", "pipes", "paint", "poisoning", "pencil",
                        "pencils", "metal", "heavy", "molten"},
                  cue_tag="a"),
@@ -140,7 +146,10 @@ H: Dict[str, Dict] = {
                       d="v"),
     "exploit": dict(n="EH1 K S P L OY0 T", v="IH0 K S P L OY1 T", d="n"),
     "combat": dict(n="K AA1 M B AE2 T", v="K AH0 M B AE1 T", d="n"),
-    "compact": dict(a="K AH0 M P AE1 K T", n="K AA1 M P AE2 K T", d="a"),
+    # adjective use ("a compact car") dominates the rare noun senses
+    # (agreement, makeup case): determiner context prefers "a"
+    "compact": dict(a="K AH0 M P AE1 K T", n="K AA1 M P AE2 K T", d="a",
+                    det="a"),
     "implant": dict(v="IH0 M P L AE1 N T", n="IH1 M P L AE2 N T", d="v"),
     "imprint": dict(n="IH1 M P R IH0 N T", v="IH0 M P R IH1 N T", d="n"),
     "intern": dict(n="IH1 N T ER0 N", v="IH0 N T ER1 N", d="n"),
@@ -239,41 +248,51 @@ _DET_PREV2 = frozenset(
     "a an the this that my your his her its our their".split()
 )
 
-_WORD_RE = re.compile(r"[a-z']+")
+# the ONE tokenizer for G2P context windows; emotts.text.g2p aliases this
+# so homograph context and pronounced words can never desynchronize
+WORD_RE = re.compile(r"[a-z']+")
+_WORD_RE = WORD_RE
 
 
-def _choose(entry: Dict, words: List[str], i: int,
-            allow_past: bool = True) -> Tuple[str, bool]:
-    """(tag, had-contextual-evidence) for ``words[i]`` given ``entry``."""
+def _choose(entry: Dict, words: List[str], i: int, allow_past: bool = True,
+            prefer_n: bool = False) -> Tuple[str, bool]:
+    """(tag, had-contextual-evidence) for ``words[i]`` given ``entry``.
+
+    ``prefer_n`` (set for plural/-s forms, which adjectives cannot take)
+    demotes an "a" choice to "n" whenever a noun reading exists.
+    """
     prev = words[i - 1] if i > 0 else ""
     prev2 = words[i - 2] if i > 1 else ""
     nxt = words[i + 1] if i + 1 < len(words) else ""
 
+    def pick(tag: str, contextual: bool) -> Tuple[str, bool]:
+        if prefer_n and tag == "a" and "n" in entry:
+            tag = "n"
+        return tag, contextual
+
     cues = entry.get("cues")
     if cues and any(w in cues for w in words[max(0, i - 3): i + 4]):
-        return entry["cue_tag"], True
+        return pick(entry["cue_tag"], True)
     if allow_past and "past" in entry and (
         prev in _PERFECT or (prev2 in _PERFECT and prev in _ADV_GAP)
     ):
         return "past", True
     nrules = entry.get("next")
     if nrules and nxt in nrules:
-        return nrules[nxt], True
+        return pick(nrules[nxt], True)
     if prev == "to" and "v" in entry:
         return "v", True
     if prev in _BE_DEGREE:
         for tag in ("a", "past" if allow_past else "", "n"):
             if tag and tag in entry:
-                return tag, True
+                return pick(tag, True)
     if prev in _NOUN_PREV:
-        # with both noun and adjective readings ("a compact" / "a compact
-        # car"), a content word after points at the adjective
-        if ("n" in entry and "a" in entry and not cues
-                and nxt and nxt not in _NOUN_PREV and nxt not in _VERB_PREV):
-            return "a", True
-        for tag in ("n", "a"):
+        # per-entry determiner preference (e.g. compact: adjective use
+        # dominates); default order is noun first
+        order = (entry["det"], "n", "a") if "det" in entry else ("n", "a")
+        for tag in order:
             if tag in entry:
-                return tag, True
+                return pick(tag, True)
     if prev in _VERB_PREV and "v" in entry:
         return "v", True
     if nxt in _OBJ_NEXT and "v" in entry:
@@ -282,8 +301,8 @@ def _choose(entry: Dict, words: List[str], i: int,
             and nxt not in _OBJ_NEXT):
         for tag in ("n", "a"):
             if tag in entry:
-                return tag, True
-    return entry["d"], False
+                return pick(tag, True)
+    return pick(entry["d"], False)
 
 
 def _s_form(pron: List[str]) -> List[str]:
@@ -312,7 +331,10 @@ def resolve_word(word: str) -> Optional[List[str]]:
     from emotts.text.g2p import _ed_suffix
 
     for sfx in ("ed", "ing", "ers", "er"):
-        if not word.endswith(sfx) or len(word) <= len(sfx) + 2:
+        # stem must keep >=2 letters so e-drop stems of short homographs
+        # ('used' -> us+e -> use) are still found, while 3-letter words
+        # like 'bed'/'fed' never enter
+        if not word.endswith(sfx) or len(word) <= len(sfx) + 1:
             continue
         for stem in _stem_candidates(word[: len(word) - len(sfx)]):
             entry = H.get(stem)
@@ -320,9 +342,11 @@ def resolve_word(word: str) -> Optional[List[str]]:
                 continue
             if sfx in ("er", "ers") and entry.get("er") != "v":
                 continue  # comparative (closer), not agentive (recorder)
-            base = entry["v"].split()
             if sfx == "ed":
-                return _ed_suffix(base)
+                # irregular verb pasts (tore/wound/led) mean the regular
+                # -ed surface form belongs to the other reading ('ed' key)
+                return _ed_suffix(entry[entry.get("ed", "v")].split())
+            base = entry["v"].split()
             if sfx == "ing":
                 return base + ["IH0", "NG"]
             agent = base + ["ER0"]
@@ -347,8 +371,11 @@ def resolve(words: List[str], i: int,
         entry = H.get(word[:-1])
         s_form = entry is not None
     if entry is None:
-        return resolve_word(word)
-    tag, contextual = _choose(entry, words, i, allow_past=not s_form)
+        # inflected verb-stem forms — but an explicit lexicon entry
+        # (e.g. a user override for 'recorded') always wins
+        return None if in_lexicon else resolve_word(word)
+    tag, contextual = _choose(entry, words, i, allow_past=not s_form,
+                              prefer_n=s_form)
     if not contextual and in_lexicon:
         return None  # defer to the lexicon's (identical) default
     pron = entry[tag].split()

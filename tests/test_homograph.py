@@ -22,8 +22,11 @@ def test_table_wellformed():
     valid = set(VALID_TOKENS)
     for word, entry in H.items():
         assert entry["d"] in entry, word
+        for meta in ("ed", "det", "cue_tag"):
+            if meta in entry:
+                assert entry[meta] in entry, (word, meta)
         for tag, pron in entry.items():
-            if tag in ("d", "next", "cues", "cue_tag", "er"):
+            if tag in ("d", "next", "cues", "cue_tag", "er", "ed", "det"):
                 continue
             phones = pron.split()
             assert all(p in valid for p in phones), (word, tag, phones)
@@ -99,6 +102,18 @@ def test_defaults_match_lexicon(g2p):
         ("A compact car.", "K AH0 M P AE1 K T"),
         # det-two-back must NOT override a following object (still a verb)
         ("The man records everything.", "R IH0 K AO1 R D Z"),
+        # review-pass regressions: noun readings must survive a following
+        # copula/adverb; -s forms never take a pluralized adjective
+        ("Two minutes later he left.", "M IH1 N AH0 T S"),
+        ("The content is great.", "K AA1 N T EH0 N T"),
+        ("The contents were lost.", "K AA1 N T EH0 N T S"),
+        ("The upset was huge.", "AH1 P S EH2 T"),
+        ("He took the lead.", "L IY1 D"),
+        ("Lead paint is toxic.", "L EH1 D"),
+        ("The dove in the cage cooed.", "D AH1 V"),
+        # irregular verb pasts: regular -ed belongs to the other reading
+        ("He was winded after the sprint.", "W IH1 N D AH0 D"),
+        ("The road was winding.", "W AY1 N D IH0 NG"),
     ],
 )
 def test_context_disambiguation(g2p, text, expect):
@@ -116,6 +131,13 @@ def test_inflected_verb_stems(g2p):
     assert g2p.word_to_phonemes("recorders") == \
         ["R", "IH0", "K", "AO1", "R", "D", "ER0", "Z"]
     assert g2p.word_to_phonemes("used") == ["Y", "UW1", "Z", "D"]
+    # the short-stem guard still finds e-drop stems ('us'+'e' → use) but
+    # never fires on 3-letter words
+    assert resolve_word("used") == ["Y", "UW1", "Z", "D"]
+    assert resolve_word("bed") is None and resolve_word("ring") is None
+    # irregular-past routing and user-lexicon precedence
+    assert resolve_word("teared") == ["T", "IH1", "R", "D"]
+    assert resolve_word("leaded") == ["L", "EH1", "D", "AH0", "D"]
     assert g2p.word_to_phonemes("closing") == ["K", "L", "OW1", "Z", "IH0", "NG"]
     assert g2p.word_to_phonemes("separated") == \
         ["S", "EH1", "P", "ER0", "EY2", "T", "AH0", "D"]
