@@ -75,9 +75,31 @@ def basic_cleaners(text: str) -> str:
     return collapse_whitespace(lowercase(text))
 
 
+# spoken expansions for symbols the word tokenizer would otherwise drop
+# silently ("a 5% raise" losing "percent").  NOT part of english_cleaners —
+# that stays bit-identical to the reference pipeline (corpus .lab files for
+# MFA must match, prepare_mfa.py:24); the synthesis-side G2P opts in.
+_SYMBOLS = [
+    (re.compile(r"%"), " percent "),
+    (re.compile(r"&"), " and "),
+    (re.compile(r"\+"), " plus "),
+    (re.compile(r"@"), " at "),
+    (re.compile(r"#"), " number "),
+    (re.compile(r"="), " equals "),
+    (re.compile(r"°"), " degrees "),
+]
+
+
+def expand_symbols(text: str) -> str:
+    for regex, replacement in _SYMBOLS:
+        text = regex.sub(replacement, text)
+    return collapse_whitespace(text)
+
+
 _CLEANERS = {
     "english_cleaners": english_cleaners,
     "basic_cleaners": basic_cleaners,
+    "expand_symbols": expand_symbols,
 }
 
 

@@ -380,7 +380,10 @@ class G2P:
         in lookup-chain order.  Drives the ``g2p`` CLI verb and keeps
         ``__call__`` and the debug surface on one code path.
         """
-        text = clean_text(text, ["english_cleaners"])
+        # symbols expand BEFORE english_cleaners so "5.5%" → "5.5 percent"
+        # → "five point five percent"; corpus prep (MFA .lab files) keeps
+        # the reference-exact english_cleaners-only pipeline
+        text = clean_text(text, ["expand_symbols", "english_cleaners"])
         words = _WORD_RE.findall(text)
         out: List[tuple] = []
         for i, word in enumerate(words):

@@ -56,6 +56,20 @@ def test_english_cleaners():
     assert clean_text("DR. WHO") == "doctor who"
 
 
+def test_symbol_expansion():
+    """Synthesis-side G2P speaks symbols the tokenizer would drop; the
+    english_cleaners pipeline itself stays reference-exact."""
+    from emotts.text.cleaners import clean_text
+
+    assert clean_text("5% & 2+2", ["expand_symbols", "english_cleaners"]) \
+        == "five percent and two plus two"
+    # english_cleaners alone is unchanged (corpus .lab parity)
+    assert clean_text("5% raise", ["english_cleaners"]) == "five% raise"
+    g2p = G2P(neural=False)
+    out = " ".join(g2p("A 5.5% raise."))
+    assert "P ER0 S EH1 N T" in out
+
+
 def test_g2p_rule_fallback():
     g2p = G2P()
     phones = g2p("hello world")
