@@ -160,12 +160,25 @@ _NEUTRAL_SUFFIXES = (
 # light ones — CMUdict convention: overlook OW2 V ER0 L UH1 K,
 # understand AH2 N D ER0 ..., distrust D IH0 S ..., preheat P R IY0 ...)
 _NEUTRAL_PREFIXES = (
+    ("counter", ["K", "AW2", "N", "T", "ER0"]),
+    ("pseudo", ["S", "UW2", "D", "OW0"]),
     ("under", ["AH2", "N", "D", "ER0"]),
+    ("inter", ["IH2", "N", "T", "ER0"]),
+    ("super", ["S", "UW2", "P", "ER0"]),
+    ("multi", ["M", "AH2", "L", "T", "IY0"]),
+    ("micro", ["M", "AY2", "K", "R", "OW0"]),
+    ("ultra", ["AH2", "L", "T", "R", "AH0"]),
+    ("anti", ["AE2", "N", "T", "IY0"]),
+    ("semi", ["S", "EH2", "M", "IY0"]),
+    ("auto", ["AO2", "T", "OW0"]),
+    ("mega", ["M", "EH2", "G", "AH0"]),
+    ("mini", ["M", "IH2", "N", "IY0"]),
     ("over", ["OW2", "V", "ER0"]),
     ("non", ["N", "AA2", "N"]),
     ("out", ["AW2", "T"]),
     ("dis", ["D", "IH0", "S"]),
     ("mis", ["M", "IH0", "S"]),
+    ("sub", ["S", "AH2", "B"]),
     ("pre", ["P", "R", "IY0"]),
     ("un", ["AH0", "N"]),
     ("re", ["R", "IY0"]),

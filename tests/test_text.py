@@ -243,6 +243,31 @@ def test_lexicon_band12_expansion():
         ["F", "AO1", "R", "M", "Y", "AH0", "L", "EY2", "T", "IH0", "NG"]
 
 
+def test_g2p_morphology_extended_prefixes():
+    """Second-wave neutral prefixes (anti/semi/multi/inter/counter/super/
+    micro/ultra/auto/mega/mini/pseudo/sub) compose with lexicon roots;
+    lexicon entries always win over a plausible-looking decomposition."""
+    g2p = G2P(neural=False)
+    cases = {
+        "antifreeze": "AE2 N T IY0 F R IY1 Z",
+        "semicircle": "S EH2 M IY0 S ER1 K AH0 L",
+        "multiplayer": "M AH2 L T IY0 P L EY1 ER0",
+        "counterattack": "K AW2 N T ER0 AH0 T AE1 K",
+        "superhuman": "S UW2 P ER0 HH Y UW1 M AH0 N",
+        "subzero": "S AH2 B Z IH1 R OW0",
+        "autopilot": "AO2 T OW0 P AY1 L AH0 T",
+        "megaphone": "M EH2 G AH0 F OW1 N",
+        "minivan": "M IH2 N IY0 V AE1 N",
+        "pseudoscience": "S UW2 D OW0 S AY1 AH0 N S",
+    }
+    for word, expected in cases.items():
+        assert " ".join(g2p.word_to_phonemes(word)) == expected, word
+    # hazard words must NOT decompose (lexicon wins / guard blocks)
+    assert " ".join(g2p.word_to_phonemes("superb")) == "S UH0 P ER1 B"
+    assert " ".join(g2p.word_to_phonemes("autumn")) == "AO1 T AH0 M"
+    assert " ".join(g2p.word_to_phonemes("autism")) == "AO1 T IH2 Z AH0 M"
+
+
 def test_g2p_morphology_combined_affixes():
     """Prefix+suffix combinations decompose deterministically (one-level
     recursion in _morph): prefix-outermost, suffix-outermost, and both."""
