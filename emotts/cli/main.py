@@ -92,6 +92,16 @@ def _parse(argv):
                         ">1=exaggerated)")
     parser.add_argument("--pace", type=float, default=1.0,
                         help="(synthesize --text-file) speaking-rate multiplier")
+    parser.add_argument("--speaker-mix", default=None, metavar="NAME:W,...",
+                        help="(synthesize --text-file) blended voice, e.g. "
+                        "bea:0.5,josh:0.5 (weights renormalize; overrides "
+                        "--speaker)")
+    parser.add_argument("--emotion-mix", default=None,
+                        metavar="NAME[@LVL]:W,...",
+                        help="(synthesize --text-file) blended affect, e.g. "
+                        "amused:0.6,sleepy:0.4 or amused@2:0.7,angry@1:0.3 "
+                        "(per-entry level defaults to --level; overrides "
+                        "--emotion)")
     parser.add_argument("--host", default="127.0.0.1",
                         help="(serve) bind address")
     parser.add_argument("--port", type=int, default=8080,
@@ -189,19 +199,46 @@ def main(argv=None) -> int:
         if args.text_file:
             from emotts.audio.wavio import write_wav
 
-            if args.speaker is None or args.emotion is None:
-                print("synthesize --text-file requires --speaker and --emotion",
+            if (args.speaker is None and args.speaker_mix is None) or (
+                args.emotion is None and args.emotion_mix is None
+            ):
+                print("synthesize --text-file requires --speaker (or "
+                      "--speaker-mix) and --emotion (or --emotion-mix)",
                       file=sys.stderr)
                 return 2
             try:
-                spk = cfg.data.speakers.index(args.speaker)
-                emo = cfg.data.emotions.index(args.emotion)
+                spk = (cfg.data.speakers.index(args.speaker)
+                       if args.speaker is not None else 0)
+                emo = (cfg.data.emotions.index(args.emotion)
+                       if args.emotion is not None else 0)
+                speaker_mix = emotion_mix = None
+                if args.speaker_mix:
+                    speaker_mix = [
+                        (cfg.data.speakers.index(name), float(w))
+                        for name, w in
+                        (p.split(":") for p in args.speaker_mix.split(","))
+                    ]
+                if args.emotion_mix:
+                    emotion_mix = []
+                    for part in args.emotion_mix.split(","):
+                        name, w = part.split(":")
+                        lvl = args.level
+                        if "@" in name:
+                            name, lvl_s = name.split("@")
+                            lvl = float(lvl_s)
+                        emotion_mix.append(
+                            (cfg.data.emotions.index(name), lvl, float(w))
+                        )
             except ValueError:
                 print(f"unknown speaker/emotion; speakers={cfg.data.speakers} "
                       f"emotions={cfg.data.emotions}", file=sys.stderr)
                 return 2
             text = open(args.text_file).read()
             if args.stream:
+                if speaker_mix or emotion_mix:
+                    print("--speaker-mix/--emotion-mix are not supported "
+                          "with --stream yet", file=sys.stderr)
+                    return 2
                 import time
 
                 import numpy as np
@@ -225,11 +262,17 @@ def main(argv=None) -> int:
                 wav = synth.synthesize_text(
                     text, spk, emo, level=args.level, pace=args.pace,
                     intensity_scale=args.intensity_scale,
+                    speaker_mix=speaker_mix, emotion_mix=emotion_mix,
                 )
             os.makedirs(cfg.inference.output_path, exist_ok=True)
+            spk_label = (args.speaker_mix.replace(":", "").replace(",", "+")
+                         if args.speaker_mix else args.speaker)
+            emo_label = (args.emotion_mix.replace(":", "").replace(",", "+")
+                         .replace("@", "") if args.emotion_mix
+                         else args.emotion)
             out_wav = os.path.join(
                 cfg.inference.output_path,
-                f"longform_{args.speaker}_{args.emotion}_{args.level:g}.wav",
+                f"longform_{spk_label}_{emo_label}_{args.level:g}.wav",
             )
             write_wav(out_wav, wav, cfg.audio.sampling_rate)
             dur = len(wav) / cfg.audio.sampling_rate

@@ -84,18 +84,41 @@ class TTSService:
     def parse(self, req: dict) -> dict:
         if not isinstance(req, dict) or not str(req.get("text", "")).strip():
             raise TTSRequestError("request needs a non-empty 'text'")
-        return {
+        spk_mix = req.get("speaker_mix")
+        emo_mix = req.get("emotion_mix")
+        out = {
             "text": str(req["text"]),
-            "speaker": self._resolve(req.get("speaker"), self.speakers,
-                                     "speaker"),
-            "emotion": self._resolve(req.get("emotion"), self.emotions,
-                                     "emotion"),
+            "speaker": (0 if spk_mix else
+                        self._resolve(req.get("speaker"), self.speakers,
+                                      "speaker")),
+            "emotion": (0 if emo_mix else
+                        self._resolve(req.get("emotion"), self.emotions,
+                                      "emotion")),
             "level": float(req.get("level", 0)),
             "scale": float(req.get("intensity_scale", 1.0)),
             "pace": float(req.get("pace", 1.0)),
             "pitch_rate": float(req.get("pitch_rate", 1.0)),
             "energy_rate": float(req.get("energy_rate", 1.0)),
         }
+        # blended controls: {"speaker_mix": {"bea": 0.5, "josh": 0.5}},
+        # {"emotion_mix": {"amused": 0.6, "sleepy": 0.4}} (names or ids;
+        # weights renormalize in the Synthesizer)
+        if spk_mix:
+            if not isinstance(spk_mix, dict) or not spk_mix:
+                raise TTSRequestError("'speaker_mix' must be {name: weight}")
+            out["speaker_mix"] = [
+                (self._resolve(k, self.speakers, "speaker"), float(w))
+                for k, w in spk_mix.items()
+            ]
+        if emo_mix:
+            if not isinstance(emo_mix, dict) or not emo_mix:
+                raise TTSRequestError("'emotion_mix' must be {name: weight}")
+            out["emotion_mix"] = [
+                (self._resolve(k, self.emotions, "emotion"), out["level"],
+                 float(w))
+                for k, w in emo_mix.items()
+            ]
+        return out
 
     def _need_vocoder(self):
         if self.synth.vocoder_params is None:
@@ -112,6 +135,8 @@ class TTSService:
                 r["text"], r["speaker"], r["emotion"], level=r["level"],
                 intensity_scale=r["scale"], pace=r["pace"],
                 pitch_rate=r["pitch_rate"], energy_rate=r["energy_rate"],
+                speaker_mix=r.get("speaker_mix"),
+                emotion_mix=r.get("emotion_mix"),
             )
 
     def stream(self, req: dict):
@@ -119,6 +144,10 @@ class TTSService:
 
         self._need_vocoder()
         r = self.parse(req)
+        if "speaker_mix" in r or "emotion_mix" in r:
+            raise TTSRequestError(
+                "speaker_mix/emotion_mix are not supported on /stream yet"
+            )
         with self.lock:
             # yield under the lock: chunks come straight off the device
             yield from stream_text(

@@ -177,6 +177,12 @@ class Synthesizer:
         n_emo = self.cfg.n_emotions
         if emotion_id == 0 or self.intensity_bank is None:
             return np.zeros((n_phones, n_emo), np.float32)
+        proto = self._proto(speaker_id, emotion_id, level) * scale
+        return np.broadcast_to(proto, (n_phones, n_emo)).astype(np.float32)
+
+    def _proto(self, speaker_id: int, emotion_id: int, level: float) -> np.ndarray:
+        """Level-interpolated prototype vector (n_emo,) for one
+        (speaker, emotion)."""
         levels = self.intensity_bank.shape[2]
         lv = float(np.clip(level, 0.0, levels - 1))
         lo, hi = int(np.floor(lv)), int(np.ceil(lv))
@@ -184,8 +190,39 @@ class Synthesizer:
         proto = (1.0 - frac) * self.intensity_bank[speaker_id, emotion_id, lo]
         if frac:
             proto = proto + frac * self.intensity_bank[speaker_id, emotion_id, hi]
-        proto = proto * scale
-        return np.broadcast_to(proto, (n_phones, n_emo)).astype(np.float32)
+        return np.asarray(proto, np.float32)
+
+    def intensity_for_mix(
+        self,
+        speaker,  # int id, or (n_speakers,) float blend weights
+        emotion_mix,  # [(emotion_id, level, weight), ...]
+        n_phones: int,
+        scale: float = 1.0,
+    ) -> np.ndarray:
+        """Blended prototype conditioning — FINE-GRAINED control squared.
+
+        Beyond the per-emotion continuous ``level``: mix prototypes ACROSS
+        emotions (0.6·amused + 0.4·sleepy) and, for a blended speaker,
+        across the per-speaker prototype banks with the same weights used
+        for the speaker-embedding blend.  Neutral (class 0) contributes
+        zeros, matching the reference's neutral convention
+        (fastspeech2/inference.py:13-14)."""
+        n_emo = self.cfg.n_emotions
+        out = np.zeros((n_emo,), np.float32)
+        if self.intensity_bank is not None:
+            for emo, level, w in emotion_mix:
+                if emo == 0 or w == 0.0:
+                    continue
+                if isinstance(speaker, np.ndarray):
+                    proto = np.zeros((n_emo,), np.float32)
+                    for s, ws in enumerate(speaker):
+                        if ws:
+                            proto += float(ws) * self._proto(s, emo, level)
+                else:
+                    proto = self._proto(int(speaker), emo, level)
+                out += float(w) * proto
+        out *= scale
+        return np.broadcast_to(out, (n_phones, n_emo)).astype(np.float32)
 
     def synthesize_mels(
         self,
@@ -220,7 +257,11 @@ class Synthesizer:
         b_pad = self._padded_batch(b)
         phon = np.zeros((b_pad, p_bucket), np.int32)
         phon[:b, : len(phoneme_ids)] = phoneme_ids
-        spk = np.zeros((b_pad,), np.int32)
+        speakers = np.asarray(speakers)
+        if speakers.ndim == 2:  # blend weights (B, n_speakers)
+            spk = np.zeros((b_pad, speakers.shape[1]), np.float32)
+        else:
+            spk = np.zeros((b_pad,), np.int32)
         spk[:b] = speakers
         inten = np.zeros((b_pad, p_bucket, intensity.shape[-1]), np.float32)
         inten[:b, : intensity.shape[1]] = intensity
@@ -346,7 +387,41 @@ class Synthesizer:
         if self._voc_fn is None:
             raise RuntimeError("synthesize_requests requires vocoder params")
         cfg = self.cfg
-        segs = []  # (request_idx, order_in_request, ids, spk, emo, lvl, scale)
+
+        def _spk_spec(r):
+            """int speaker id, or (n_speakers,) float weights for a blend."""
+            mix = r.get("speaker_mix")
+            if not mix:
+                return int(r["speaker"])
+            w = np.zeros((cfg.n_speakers,), np.float32)
+            for sid, ws in (mix.items() if isinstance(mix, dict) else mix):
+                w[int(sid)] = float(ws)
+            total = w.sum()
+            if total <= 0:
+                raise ValueError("speaker_mix weights must sum > 0")
+            return w / total
+
+        def _emo_mix(r):
+            """[(emotion_id, level, weight)] — pure requests become a
+            single-entry mix so one code path conditions every row."""
+            mix = r.get("emotion_mix")
+            lvl = float(r.get("level", 0.0))
+            if not mix:
+                return [(int(r["emotion"]), lvl, 1.0)]
+            out = []
+            for entry in (mix.items() if isinstance(mix, dict) else mix):
+                if len(entry) == 2:
+                    emo, w = entry
+                    out.append((int(emo), lvl, float(w)))
+                else:
+                    emo, elvl, w = entry
+                    out.append((int(emo), float(elvl), float(w)))
+            total = sum(w for _, _, w in out)
+            if total <= 0:
+                raise ValueError("emotion_mix weights must sum > 0")
+            return [(e, l, w / total) for e, l, w in out]
+
+        segs = []  # (request_idx, order_in_request, ids, spk_spec, emo_mix, scale)
         for r_i, r in enumerate(requests):
             sentences = split_sentences(r["text"])
             seqs = [self.text_to_phoneme_ids(s) for s in sentences]
@@ -357,8 +432,8 @@ class Synthesizer:
                 )
             for s_i, ids in enumerate(seqs):
                 segs.append((
-                    r_i, s_i, ids, int(r["speaker"]), int(r["emotion"]),
-                    float(r.get("level", 0.0)), float(r.get("scale", 1.0)),
+                    r_i, s_i, ids, _spk_spec(r), _emo_mix(r),
+                    float(r.get("scale", 1.0)),
                 ))
 
         groups: Dict[int, list] = {}
@@ -375,13 +450,25 @@ class Synthesizer:
             b_pad = self._padded_batch(b)  # mesh: shard segments over data
             phon = np.zeros((b_pad, pb), np.int32)
             inten = np.zeros((b_pad, pb, cfg.n_emotions), np.float32)
-            spk = np.zeros((b_pad,), np.int32)
+            # one blended row ⇒ the whole dispatch uses the weights path
+            # (pure rows become one-hot, numerically identical to id lookup)
+            blended = any(isinstance(segs[g][3], np.ndarray) for g in idxs)
+            if blended:
+                spk = np.zeros((b_pad, cfg.n_speakers), np.float32)
+            else:
+                spk = np.zeros((b_pad,), np.int32)
             for row, g_i in enumerate(idxs):
-                r_i, s_i, ids, speaker, emotion, level, scale = segs[g_i]
+                r_i, s_i, ids, spk_spec, emo_mix, scale = segs[g_i]
                 phon[row, : len(ids)] = ids
-                spk[row] = speaker
-                inten[row, : len(ids)] = self.intensity_for(
-                    speaker, emotion, level, len(ids), scale=scale
+                if blended:
+                    if isinstance(spk_spec, np.ndarray):
+                        spk[row] = spk_spec
+                    else:
+                        spk[row, int(spk_spec)] = 1.0
+                else:
+                    spk[row] = spk_spec
+                inten[row, : len(ids)] = self.intensity_for_mix(
+                    spk_spec, emo_mix, len(ids), scale=scale
                 )
             mel, mel_lens = self._mel_fn(
                 self.fs2_variables,
@@ -429,6 +516,8 @@ class Synthesizer:
         energy_rate: float = 1.0,
         gap_s: float = 0.15,
         intensity_scale: float = 1.0,
+        speaker_mix=None,  # [(speaker_id, weight), ...] — blended voice
+        emotion_mix=None,  # [(emotion_id[, level], weight), ...] — blended affect
     ) -> np.ndarray:
         """Long-form synthesis: split ``text`` into sentences, batch sentences
         that share a phone bucket through one jitted pass each, vocode, and
@@ -439,11 +528,16 @@ class Synthesizer:
         fastspeech2/inference.py:55): arbitrary-length input runs in
         O(#buckets) device dispatches instead of O(#sentences).
         """
+        req = {
+            "text": text, "speaker": speaker_id, "emotion": emotion_id,
+            "level": level, "scale": intensity_scale,
+        }
+        if speaker_mix:
+            req["speaker_mix"] = speaker_mix
+        if emotion_mix:
+            req["emotion_mix"] = emotion_mix
         return self.synthesize_requests(
-            [{
-                "text": text, "speaker": speaker_id, "emotion": emotion_id,
-                "level": level, "scale": intensity_scale,
-            }],
+            [req],
             pace=pace, pitch_rate=pitch_rate, energy_rate=energy_rate,
             gap_s=gap_s,
         )[0]

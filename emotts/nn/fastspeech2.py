@@ -170,7 +170,10 @@ class FastSpeech2(nn.Module):
     def __call__(
         self,
         tokens: jnp.ndarray,  # (B, P) int, 0 = pad
-        speakers: jnp.ndarray,  # (B,) int
+        speakers: jnp.ndarray,  # (B,) int ids, OR (B, n_speakers) float
+        #   blend weights — a weighted mix over the speaker-embedding table
+        #   (one-hot weights reproduce the id path exactly); enables
+        #   continuous speaker interpolation at synthesis time
         durations: Optional[jnp.ndarray] = None,  # (B, P) int (teacher forcing)
         pitch: Optional[jnp.ndarray] = None,  # (B, T) frame-level target
         energy: Optional[jnp.ndarray] = None,  # (B, T)
@@ -212,7 +215,13 @@ class FastSpeech2(nn.Module):
         feats = feats * tmask
 
         # ------------- conditioning: speaker ⊕ intensity -------------
-        spk = nn.Embed(self.n_speakers, c.enc_d_model, name="speaker_emb")(speakers)
+        spk_emb = nn.Embed(self.n_speakers, c.enc_d_model, name="speaker_emb")
+        if speakers.ndim == 2:
+            # blended speakers: weights over the full embedding table
+            table = spk_emb(jnp.arange(self.n_speakers))  # (n_spk, D)
+            spk = speakers.astype(table.dtype) @ table
+        else:
+            spk = spk_emb(speakers)
         spk = jnp.broadcast_to(spk[:, None, :], (b, p, c.enc_d_model))
         if intensity is None:
             intensity = jnp.zeros((b, p, c.intensity_dim), dtype)

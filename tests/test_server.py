@@ -159,3 +159,30 @@ def test_batch_shares_buckets(served):
     single = _wav_samples(_post(base, "/synthesize", reqs[0]).read())[0]
     batched = _wav_samples(base64.b64decode(out["wavs_b64"][0]))[0]
     np.testing.assert_array_equal(single, batched)
+
+
+def test_blended_controls(served):
+    """speaker_mix / emotion_mix fields synthesize successfully (names map
+    through the same resolver as pure requests)."""
+    cfg, base = served
+    with _post(base, "/synthesize",
+               {"text": "Blend me.", "level": 1,
+                "speaker_mix": {"a": 0.5, "b": 0.5},
+                "emotion_mix": {"amused": 0.6, "angry": 0.4}}) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        pcm, _ = _wav_samples(r.read())
+    assert len(pcm) > 0 and np.isfinite(pcm).all()
+
+
+def test_blend_validation_errors(served):
+    _, base = served
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/synthesize",
+              {"text": "x", "speaker_mix": {"nobody": 1.0},
+               "emotion": "amused"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/synthesize",
+              {"text": "x", "speaker_mix": ["a", 1.0], "emotion": "amused"})
+    assert e.value.code == 400

@@ -200,6 +200,19 @@ def test_long_text_cli(synth, tmp_path, monkeypatch):
     data, sr = wavio.read_wav(str(wavs[0]))
     assert sr == cfg.audio.sampling_rate and len(data) > 0
 
+    # blended-control flags parse and synthesize through the same path
+    rc = main(["synthesize", "--config", cfg_path,
+               "--text-file", str(text_path),
+               "--speaker-mix", "a:0.5,b:0.5",
+               "--emotion-mix", "amused@1:0.6,angry:0.4", "--level", "2"])
+    assert rc == 0
+    blend = list((tmp_path / "out").glob("longform_a0.5+b0.5_*.wav"))
+    assert len(blend) == 1
+    # unknown mix name → clean error, not a crash
+    assert main(["synthesize", "--config", cfg_path,
+                 "--text-file", str(text_path),
+                 "--speaker-mix", "nobody:1", "--emotion", "angry"]) == 2
+
 
 def test_mesh_parallel_synthesis_matches_single_device(synth):
     """Data-parallel synthesis over the 8-virtual-device mesh: batches pad
@@ -288,3 +301,77 @@ def test_synthesize_requests_rejects_empty_text(synth):
     cfg, s = synth
     with pytest.raises(ValueError):
         s.synthesize_requests([{"text": "   ", "speaker": 0, "emotion": 1}])
+
+
+def test_speaker_blend_one_hot_matches_id_path(synth):
+    """One-hot blend weights through the weights@table path reproduce the
+    integer-id embedding lookup bit-for-bit (same mel)."""
+    cfg, s = synth
+    ids = s.text_to_phoneme_ids("hello world")
+    inten = np.zeros((2, len(ids), cfg.n_emotions), np.float32)
+    mel_id, lens_id = s.synthesize_mels(ids, np.array([0, 1]), inten)
+    onehot = np.eye(cfg.n_speakers, dtype=np.float32)[[0, 1]]
+    phon, spk_w, inten_d = s._bucket_pad(ids, onehot, inten)
+    mel_w, lens_w = s._mel_fn(
+        s.fs2_variables, phon, spk_w, inten_d,
+        max_mel_len=cfg.fastspeech2.max_mel_len,
+        pace=1.0, pitch_rate=1.0, energy_rate=1.0,
+    )
+    np.testing.assert_array_equal(np.asarray(lens_id), np.asarray(lens_w))
+    np.testing.assert_allclose(
+        np.asarray(mel_id), np.asarray(mel_w), rtol=0, atol=1e-6
+    )
+
+
+def test_emotion_mix_conditioning(synth):
+    """intensity_for_mix: single-entry mix == intensity_for; a 50/50 mix is
+    the average of the two prototypes; neutral contributes zeros."""
+    cfg, s = synth
+    pure = s.intensity_for(1, 2, 1.0, 4)
+    mix1 = s.intensity_for_mix(1, [(2, 1.0, 1.0)], 4)
+    np.testing.assert_allclose(mix1, pure, atol=1e-7)
+    half = s.intensity_for_mix(1, [(1, 0.0, 0.5), (2, 0.0, 0.5)], 4)
+    expect = 0.5 * (s._proto(1, 1, 0.0) + s._proto(1, 2, 0.0))
+    np.testing.assert_allclose(half[0], expect, atol=1e-7)
+    with_neutral = s.intensity_for_mix(1, [(0, 0.0, 0.5), (2, 0.0, 0.5)], 4)
+    np.testing.assert_allclose(with_neutral[0], 0.5 * s._proto(1, 2, 0.0),
+                               atol=1e-7)
+    # blended speaker blends the per-speaker prototype banks
+    w = np.array([0.25, 0.75], np.float32)
+    sp = s.intensity_for_mix(w, [(2, 0.0, 1.0)], 4)
+    np.testing.assert_allclose(
+        sp[0], 0.25 * s._proto(0, 2, 0.0) + 0.75 * s._proto(1, 2, 0.0),
+        atol=1e-7)
+
+
+def test_synthesize_text_with_mixes(synth):
+    """End-to-end long-form synthesis with blended speaker AND emotion.
+
+    The difference assertion runs at the MEL level: the untrained test
+    vocoder collapses distinct mels to near-identical int16 PCM, so
+    waveform equality is not a valid probe here."""
+    cfg, s = synth
+    text = "The quick brown fox."
+    ids = s.text_to_phoneme_ids(text)
+    inten_pure = s.intensity_for(0, 2, 1.0, len(ids))[None]
+    inten_mix = s.intensity_for_mix(
+        np.array([0.5, 0.5], np.float32),
+        [(1, 1.0, 0.5), (2, 1.0, 0.5)], len(ids))[None]
+    mel_pure, _ = s.synthesize_mels(ids, np.array([0]), inten_pure)
+    mel_mix, _ = s.synthesize_mels(
+        ids, np.array([[0.5, 0.5]], np.float32), inten_mix)
+    assert not np.allclose(np.asarray(mel_pure), np.asarray(mel_mix))
+    mixed = s.synthesize_text(
+        text, 0, 2, level=1.0,
+        speaker_mix=[(0, 0.5), (1, 0.5)],
+        emotion_mix=[(1, 1.0, 0.5), (2, 1.0, 0.5)],
+    )
+    assert np.isfinite(mixed).all() and len(mixed) > 0
+    # a batch mixing pure and blended rows still works (one weights dispatch)
+    outs = s.synthesize_requests([
+        {"text": text, "speaker": 1, "emotion": 2, "level": 1.0},
+        {"text": text, "speaker": 0, "emotion": 0,
+         "speaker_mix": [(0, 0.3), (1, 0.7)],
+         "emotion_mix": [(1, 0.0, 0.4), (2, 1.0, 0.6)]},
+    ])
+    assert len(outs) == 2 and all(np.isfinite(o).all() for o in outs)
