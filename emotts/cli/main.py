@@ -78,6 +78,12 @@ def _parse(argv):
         help="(synthesize) long-form mode: split PATH into sentences and "
         "write one stitched wav for --speaker/--emotion/--level",
     )
+    parser.add_argument(
+        "--ssml-file", default=None, metavar="PATH",
+        help="(synthesize) SSML-lite mode: render PATH's markup "
+        "(<voice>/<emotion>/<prosody rate>/<break>/<phoneme>) to one wav; "
+        "--speaker/--emotion/--level are the defaults for unmarked spans",
+    )
     parser.add_argument("--speaker", default=None,
                         help="(synthesize --text-file) speaker name")
     parser.add_argument("--emotion", default=None,
@@ -196,7 +202,34 @@ def main(argv=None) -> int:
         from emotts.infer.synthesize import load_synthesizer
 
         synth = load_synthesizer(cfg)
-        if args.text_file:
+        if args.ssml_file:
+            from emotts.audio.wavio import write_wav
+            from emotts.text.ssml import SSMLError
+
+            try:
+                spk = (cfg.data.speakers.index(args.speaker)
+                       if args.speaker is not None else 0)
+                emo = (cfg.data.emotions.index(args.emotion)
+                       if args.emotion is not None else 0)
+            except ValueError:
+                print(f"unknown speaker/emotion; speakers={cfg.data.speakers} "
+                      f"emotions={cfg.data.emotions}", file=sys.stderr)
+                return 2
+            try:
+                wav = synth.synthesize_ssml(
+                    open(args.ssml_file).read(), speaker=spk, emotion=emo,
+                    level=args.level, intensity_scale=args.intensity_scale,
+                    pace=args.pace,
+                )
+            except SSMLError as e:
+                print(f"SSML error: {e}", file=sys.stderr)
+                return 2
+            os.makedirs(cfg.inference.output_path, exist_ok=True)
+            out_wav = os.path.join(cfg.inference.output_path, "ssml.wav")
+            write_wav(out_wav, wav, cfg.audio.sampling_rate)
+            dur = len(wav) / cfg.audio.sampling_rate
+            print(f"[synthesize] wrote {out_wav} ({dur:.1f}s)")
+        elif args.text_file:
             from emotts.audio.wavio import write_wav
 
             if (args.speaker is None and args.speaker_mix is None) or (

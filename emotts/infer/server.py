@@ -82,8 +82,16 @@ class TTSService:
         raise TTSRequestError(f"unknown {what} {value!r}; known: {table}")
 
     def parse(self, req: dict) -> dict:
-        if not isinstance(req, dict) or not str(req.get("text", "")).strip():
-            raise TTSRequestError("request needs a non-empty 'text'")
+        if not isinstance(req, dict) or not (
+            str(req.get("text", "")).strip()
+            or str(req.get("ssml", "")).strip()
+        ):
+            raise TTSRequestError("request needs a non-empty 'text' or 'ssml'")
+        if str(req.get("ssml", "")).strip():
+            req = dict(req)
+            req.setdefault("speaker", 0)
+            req.setdefault("emotion", 0)
+            req["text"] = ""  # unused on the SSML path
         spk_mix = req.get("speaker_mix")
         emo_mix = req.get("emotion_mix")
         out = {
@@ -118,6 +126,8 @@ class TTSService:
                  float(w))
                 for k, w in emo_mix.items()
             ]
+        if str(req.get("ssml", "")).strip():
+            out["ssml"] = str(req["ssml"])
         return out
 
     def _need_vocoder(self):
@@ -130,6 +140,20 @@ class TTSService:
     def synthesize(self, req: dict) -> np.ndarray:
         self._need_vocoder()
         r = self.parse(req)
+        if r.get("ssml"):
+            from emotts.text.ssml import SSMLError
+
+            try:
+                with self.lock:
+                    return self.synth.synthesize_ssml(
+                        r["ssml"], speaker=r["speaker"],
+                        emotion=r["emotion"], level=r["level"],
+                        intensity_scale=r["scale"], pace=r["pace"],
+                        pitch_rate=r["pitch_rate"],
+                        energy_rate=r["energy_rate"],
+                    )
+            except SSMLError as e:
+                raise TTSRequestError(str(e))
         with self.lock:
             return self.synth.synthesize_text(
                 r["text"], r["speaker"], r["emotion"], level=r["level"],

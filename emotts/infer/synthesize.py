@@ -423,9 +423,23 @@ class Synthesizer:
 
         segs = []  # (request_idx, order_in_request, ids, spk_spec, emo_mix, scale)
         for r_i, r in enumerate(requests):
-            sentences = split_sentences(r["text"])
-            seqs = [self.text_to_phoneme_ids(s) for s in sentences]
-            seqs = [s for s in seqs if len(s) > 0]
+            if r.get("phonemes"):
+                # direct ARPABET input (pronunciation override / SSML
+                # <phoneme ph=...>): bypasses G2P entirely
+                from emotts.text.vocab import (filter_to_vocab,
+                                               phoneme_to_sequence)
+
+                phones = (r["phonemes"].split()
+                          if isinstance(r["phonemes"], str)
+                          else list(r["phonemes"]))
+                seq = np.asarray(
+                    phoneme_to_sequence(filter_to_vocab(phones)), np.int32
+                )
+                seqs = [seq] if len(seq) else []
+            else:
+                sentences = split_sentences(r["text"])
+                seqs = [self.text_to_phoneme_ids(s) for s in sentences]
+                seqs = [s for s in seqs if len(s) > 0]
             if not seqs:
                 raise ValueError(
                     f"request {r_i}: no synthesizable sentences in text"
@@ -504,6 +518,91 @@ class Synthesizer:
                 chunks.append(piece)
             out.append(np.concatenate(chunks))
         return out
+
+    def synthesize_ssml(
+        self,
+        markup: str,
+        speaker: int = 0,  # defaults for spans without overrides
+        emotion: int = 0,
+        level: float = 0.0,
+        intensity_scale: float = 1.0,
+        pace: float = 1.0,
+        pitch_rate: float = 1.0,
+        energy_rate: float = 1.0,
+        gap_s: float = 0.15,  # between sentences within a span
+        span_gap_s: float = 0.05,  # between adjacent control spans
+    ) -> np.ndarray:
+        """Render SSML-lite markup (emotts/text/ssml.py) to one waveform.
+
+        Span-level <voice>/<emotion>/<prosody rate>/<phoneme>/<break>
+        control inside one utterance — the serving-grade input format the
+        reference's fixed (speaker, emotion, level) driver cannot express.
+        All spans sharing a speaking rate render through ONE
+        ``synthesize_requests`` call (rate is jit-static), so device work
+        stays O(#distinct buckets × #distinct rates).
+        """
+        from emotts.text.ssml import SSMLError, parse_ssml
+
+        cfg = self.cfg
+        segs = parse_ssml(markup)
+
+        def rid(value, table, what, default):
+            if value is None:
+                return default
+            if value in table:
+                return table.index(value)
+            try:
+                idx = int(value)
+            except (TypeError, ValueError):
+                raise SSMLError(f"unknown {what} {value!r}; known: {table}")
+            if not 0 <= idx < len(table):
+                raise SSMLError(f"{what} id {idx} out of range")
+            return idx
+
+        jobs: Dict[float, list] = {}  # rate -> [(segment_index, request)]
+        for i, seg in enumerate(segs):
+            if seg.kind == "break":
+                continue
+            c = seg.controls
+            req = {
+                "speaker": rid(c.speaker, list(cfg.data.speakers),
+                               "speaker", speaker),
+                "emotion": rid(c.emotion, list(cfg.data.emotions),
+                               "emotion", emotion),
+                "level": level if c.level is None else c.level,
+                "scale": intensity_scale if c.scale is None else c.scale,
+            }
+            if seg.kind == "phonemes":
+                req["phonemes"] = seg.phonemes
+            else:
+                req["text"] = seg.text
+            rate = 1.0 if c.rate is None else float(c.rate)
+            jobs.setdefault(rate, []).append((i, req))
+        if not jobs:
+            raise SSMLError("no synthesizable content in SSML input")
+
+        waves: Dict[int, np.ndarray] = {}
+        for rate, items in sorted(jobs.items()):
+            outs = self.synthesize_requests(
+                [r for _, r in items], pace=pace * rate,
+                pitch_rate=pitch_rate, energy_rate=energy_rate, gap_s=gap_s,
+            )
+            for (i, _), w in zip(items, outs):
+                waves[i] = w
+
+        sr = cfg.audio.sampling_rate
+        parts: list = []
+        prev_spoken = False
+        for i, seg in enumerate(segs):
+            if seg.kind == "break":
+                parts.append(np.zeros(int(seg.seconds * sr), np.float32))
+                prev_spoken = False
+            else:
+                if prev_spoken:
+                    parts.append(np.zeros(int(span_gap_s * sr), np.float32))
+                parts.append(waves[i])
+                prev_spoken = True
+        return np.concatenate(parts)
 
     def synthesize_text(
         self,

@@ -186,3 +186,22 @@ def test_blend_validation_errors(served):
         _post(base, "/synthesize",
               {"text": "x", "speaker_mix": ["a", 1.0], "emotion": "amused"})
     assert e.value.code == 400
+
+
+def test_ssml_endpoint(served):
+    """/synthesize with 'ssml' renders span-level controls to one wav."""
+    cfg, base = served
+    body = {"ssml": ('Hi there. <voice name="b"><emotion name="angry" '
+                     'level="1">Span.</emotion></voice>'
+                     '<break time="200ms"/><prosody rate="1.2">Quick.'
+                     "</prosody>"),
+            "speaker": "a", "emotion": "amused"}
+    with _post(base, "/synthesize", body) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        pcm, sr = _wav_samples(r.read())
+    assert sr == cfg.audio.sampling_rate and len(pcm) > 0
+
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/synthesize", {"ssml": "<blink>no</blink>"})
+    assert e.value.code == 400

@@ -375,3 +375,69 @@ def test_synthesize_text_with_mixes(synth):
          "emotion_mix": [(1, 0.0, 0.4), (2, 1.0, 0.6)]},
     ])
     assert len(outs) == 2 and all(np.isfinite(o).all() for o in outs)
+
+
+def test_synthesize_ssml(synth):
+    """SSML-lite end-to-end: spans with voice/emotion/rate/phoneme/break
+    render to one finite waveform; the explicit break adds its silence."""
+    cfg, s = synth
+    markup = (
+        'Plain span. <voice name="b"><emotion name="angry" level="1">'
+        "Angry bea span.</emotion></voice>"
+        '<break time="400ms"/>'
+        '<prosody rate="1.3">A faster span.</prosody>'
+        '<phoneme ph="HH AH0 L OW1">hello</phoneme>'
+    )
+    wav = s.synthesize_ssml(markup, speaker=0, emotion=1)
+    assert np.isfinite(wav).all() and len(wav) > 0
+    sr = cfg.audio.sampling_rate
+    no_break = s.synthesize_ssml(
+        markup.replace('<break time="400ms"/>', ""), speaker=0, emotion=1)
+    # the break contributes ~0.4 s of extra output (span gaps differ by one)
+    assert len(wav) - len(no_break) >= int(0.3 * sr)
+    from emotts.text.ssml import SSMLError
+    with pytest.raises(SSMLError):
+        s.synthesize_ssml('<voice name="nobody">x</voice>')
+    with pytest.raises(SSMLError):
+        s.synthesize_ssml('<break time="1s"/>')  # nothing to speak
+
+
+def test_phoneme_request_input(synth):
+    """Raw-ARPABET requests bypass G2P and match the equivalent id path."""
+    cfg, s = synth
+    from emotts.text.vocab import phoneme_to_sequence
+
+    phones = ["HH", "AH0", "L", "OW1", "W", "ER1", "L", "D"]
+    out = s.synthesize_requests(
+        [{"phonemes": " ".join(phones), "speaker": 1, "emotion": 2,
+          "level": 1.0}]
+    )[0]
+    assert np.isfinite(out).all() and len(out) > 0
+    ids = np.asarray(phoneme_to_sequence(phones), np.int32)
+    inten = s.intensity_for(1, 2, 1.0, len(ids))[None]
+    mel, lens = s.synthesize_mels(ids, np.array([1]), inten)
+    assert len(out) == int(np.asarray(lens)[0]) * cfg.audio.hop_length
+
+
+def test_ssml_cli(synth, tmp_path, monkeypatch):
+    cfg, s = synth
+    import emotts.infer.synthesize as syn_mod
+    from emotts.utils.config import save_config
+    from emotts.cli.main import main
+
+    cfg.inference.output_path = str(tmp_path / "out")
+    cfg_path = str(tmp_path / "cfg.yaml")
+    save_config(cfg, cfg_path)
+    ssml_path = tmp_path / "in.ssml"
+    ssml_path.write_text(
+        'Hello. <voice name="b">Other voice.</voice><break time="250ms"/>')
+    monkeypatch.setattr(syn_mod, "load_synthesizer", lambda c, **kw: s)
+    rc = main(["synthesize", "--config", cfg_path,
+               "--ssml-file", str(ssml_path),
+               "--speaker", "a", "--emotion", "amused"])
+    assert rc == 0
+    assert (tmp_path / "out" / "ssml.wav").exists()
+    # malformed markup → clean error exit
+    ssml_path.write_text("<nope>x</nope>")
+    assert main(["synthesize", "--config", cfg_path,
+                 "--ssml-file", str(ssml_path)]) == 2
