@@ -204,16 +204,21 @@ def main(argv=None) -> int:
         synth = load_synthesizer(cfg)
         if args.ssml_file:
             from emotts.audio.wavio import write_wav
+            from emotts.infer.synthesize import resolve_name
             from emotts.text.ssml import SSMLError
 
+            if args.speaker_mix or args.emotion_mix:
+                print("--speaker-mix/--emotion-mix cannot combine with "
+                      "--ssml-file; use <voice>/<emotion> spans instead",
+                      file=sys.stderr)
+                return 2
             try:
-                spk = (cfg.data.speakers.index(args.speaker)
+                spk = (resolve_name(args.speaker, cfg.data.speakers, "speaker")
                        if args.speaker is not None else 0)
-                emo = (cfg.data.emotions.index(args.emotion)
+                emo = (resolve_name(args.emotion, cfg.data.emotions, "emotion")
                        if args.emotion is not None else 0)
-            except ValueError:
-                print(f"unknown speaker/emotion; speakers={cfg.data.speakers} "
-                      f"emotions={cfg.data.emotions}", file=sys.stderr)
+            except ValueError as e:
+                print(str(e), file=sys.stderr)
                 return 2
             try:
                 wav = synth.synthesize_ssml(
@@ -239,15 +244,18 @@ def main(argv=None) -> int:
                       "--speaker-mix) and --emotion (or --emotion-mix)",
                       file=sys.stderr)
                 return 2
+            from emotts.infer.synthesize import resolve_name
+
             try:
-                spk = (cfg.data.speakers.index(args.speaker)
+                spk = (resolve_name(args.speaker, cfg.data.speakers, "speaker")
                        if args.speaker is not None else 0)
-                emo = (cfg.data.emotions.index(args.emotion)
+                emo = (resolve_name(args.emotion, cfg.data.emotions, "emotion")
                        if args.emotion is not None else 0)
                 speaker_mix = emotion_mix = None
                 if args.speaker_mix:
                     speaker_mix = [
-                        (cfg.data.speakers.index(name), float(w))
+                        (resolve_name(name, cfg.data.speakers, "speaker"),
+                         float(w))
                         for name, w in
                         (p.split(":") for p in args.speaker_mix.split(","))
                     ]
@@ -260,11 +268,11 @@ def main(argv=None) -> int:
                             name, lvl_s = name.split("@")
                             lvl = float(lvl_s)
                         emotion_mix.append(
-                            (cfg.data.emotions.index(name), lvl, float(w))
+                            (resolve_name(name, cfg.data.emotions, "emotion"),
+                             lvl, float(w))
                         )
-            except ValueError:
-                print(f"unknown speaker/emotion; speakers={cfg.data.speakers} "
-                      f"emotions={cfg.data.emotions}", file=sys.stderr)
+            except ValueError as e:
+                print(str(e), file=sys.stderr)
                 return 2
             text = open(args.text_file).read()
             if args.stream:

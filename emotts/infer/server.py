@@ -71,15 +71,12 @@ class TTSService:
         self.emotions = list(cfg.data.emotions)
 
     def _resolve(self, value, table, what: str) -> int:
-        if isinstance(value, bool) or value is None:
-            raise TTSRequestError(f"missing/invalid {what}: {value!r}")
-        if isinstance(value, int):
-            if not 0 <= value < len(table):
-                raise TTSRequestError(f"{what} id {value} out of range")
-            return value
-        if value in table:
-            return table.index(value)
-        raise TTSRequestError(f"unknown {what} {value!r}; known: {table}")
+        from emotts.infer.synthesize import resolve_name
+
+        try:
+            return resolve_name(value, table, what)
+        except ValueError as e:
+            raise TTSRequestError(str(e)) from None
 
     def parse(self, req: dict) -> dict:
         if not isinstance(req, dict) or not (
@@ -88,6 +85,11 @@ class TTSService:
         ):
             raise TTSRequestError("request needs a non-empty 'text' or 'ssml'")
         if str(req.get("ssml", "")).strip():
+            if req.get("speaker_mix") or req.get("emotion_mix"):
+                raise TTSRequestError(
+                    "'ssml' cannot combine with speaker_mix/emotion_mix — "
+                    "use <voice>/<emotion> spans inside the markup"
+                )
             req = dict(req)
             req.setdefault("speaker", 0)
             req.setdefault("emotion", 0)
@@ -166,25 +168,39 @@ class TTSService:
     def stream(self, req: dict):
         from emotts.infer.streaming import stream_text
 
+        # ALL validation happens here, eagerly — once the handler starts a
+        # chunked 200 response, a mid-generator error can no longer become
+        # the 400 it should have been
         self._need_vocoder()
         r = self.parse(req)
-        if "speaker_mix" in r or "emotion_mix" in r:
+        if "speaker_mix" in r or "emotion_mix" in r or r.get("ssml"):
             raise TTSRequestError(
-                "speaker_mix/emotion_mix are not supported on /stream yet"
+                "speaker_mix/emotion_mix/ssml are not supported on the "
+                "streaming path yet"
             )
-        with self.lock:
-            # yield under the lock: chunks come straight off the device
-            yield from stream_text(
-                self.synth, r["text"], r["speaker"], r["emotion"],
-                level=r["level"], intensity_scale=r["scale"], pace=r["pace"],
-                pitch_rate=r["pitch_rate"], energy_rate=r["energy_rate"],
-            )
+
+        def gen():
+            with self.lock:
+                # yield under the lock: chunks come straight off the device
+                yield from stream_text(
+                    self.synth, r["text"], r["speaker"], r["emotion"],
+                    level=r["level"], intensity_scale=r["scale"],
+                    pace=r["pace"], pitch_rate=r["pitch_rate"],
+                    energy_rate=r["energy_rate"],
+                )
+
+        return gen()
 
     def batch(self, reqs) -> list:
         self._need_vocoder()
         if not isinstance(reqs, list) or not reqs:
             raise TTSRequestError("'requests' must be a non-empty list")
         parsed = [self.parse(r) for r in reqs]
+        if any(r.get("ssml") for r in parsed):
+            raise TTSRequestError(
+                "'ssml' requests are not supported on /batch — "
+                "POST them to /synthesize individually"
+            )
         # prosody rates are jit-static and shared per engine call
         # (Synthesizer.synthesize_requests); a batch uses the first
         # request's values — split calls to mix prosody
@@ -245,12 +261,16 @@ class _Handler(BaseHTTPRequestHandler):
             if self.path == "/synthesize":
                 req = self._read_json()
                 if req.get("stream"):
+                    # validate BEFORE the chunked 200 starts — svc.stream
+                    # raises TTSRequestError here, while a 400 can still
+                    # be sent; only then commit to the response
+                    chunks = svc.stream(req)
                     self.send_response(200)
                     self.send_header("Content-Type", "audio/L16")
                     self.send_header("X-Sample-Rate", str(sr))
                     self.send_header("Transfer-Encoding", "chunked")
                     self.end_headers()
-                    for chunk in svc.stream(req):
+                    for chunk in chunks:
                         data = _pcm16(chunk)
                         self.wfile.write(f"{len(data):x}\r\n".encode())
                         self.wfile.write(data + b"\r\n")

@@ -31,6 +31,29 @@ from emotts.train.fs2_trainer import build_fastspeech2
 from emotts.utils.config import Config
 
 
+def resolve_name(value, table, what: str) -> int:
+    """Speaker/emotion name-or-id → index; raises ``ValueError``.
+
+    The ONE resolution rule shared by the CLI, the HTTP server, and the
+    SSML renderer (each used to have its own, with divergent behavior)."""
+    if isinstance(value, bool) or value is None:
+        raise ValueError(f"missing/invalid {what}: {value!r}")
+    if isinstance(value, (int, np.integer)):
+        idx = int(value)
+    elif value in table:
+        return list(table).index(value)
+    else:
+        try:
+            idx = int(value)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"unknown {what} {value!r}; known: {list(table)}"
+            ) from None
+    if not 0 <= idx < len(table):
+        raise ValueError(f"{what} id {idx} out of range (n={len(table)})")
+    return idx
+
+
 class Synthesizer:
     def __init__(
         self,
@@ -395,7 +418,7 @@ class Synthesizer:
                 return int(r["speaker"])
             w = np.zeros((cfg.n_speakers,), np.float32)
             for sid, ws in (mix.items() if isinstance(mix, dict) else mix):
-                w[int(sid)] = float(ws)
+                w[int(sid)] += float(ws)  # duplicate entries accumulate
             total = w.sum()
             if total <= 0:
                 raise ValueError("speaker_mix weights must sum > 0")
@@ -432,9 +455,13 @@ class Synthesizer:
                 phones = (r["phonemes"].split()
                           if isinstance(r["phonemes"], str)
                           else list(r["phonemes"]))
-                seq = np.asarray(
-                    phoneme_to_sequence(filter_to_vocab(phones)), np.int32
-                )
+                kept = filter_to_vocab(phones)
+                if len(kept) != len(phones):
+                    raise ValueError(
+                        f"request {r_i}: non-ARPABET phoneme tokens "
+                        f"{[p for p in phones if p not in kept]}"
+                    )
+                seq = np.asarray(phoneme_to_sequence(kept), np.int32)
                 seqs = [seq] if len(seq) else []
             else:
                 sentences = split_sentences(r["text"])
@@ -549,15 +576,10 @@ class Synthesizer:
         def rid(value, table, what, default):
             if value is None:
                 return default
-            if value in table:
-                return table.index(value)
             try:
-                idx = int(value)
-            except (TypeError, ValueError):
-                raise SSMLError(f"unknown {what} {value!r}; known: {table}")
-            if not 0 <= idx < len(table):
-                raise SSMLError(f"{what} id {idx} out of range")
-            return idx
+                return resolve_name(value, table, what)
+            except ValueError as e:
+                raise SSMLError(str(e)) from None
 
         jobs: Dict[float, list] = {}  # rate -> [(segment_index, request)]
         for i, seg in enumerate(segs):
@@ -577,14 +599,18 @@ class Synthesizer:
             else:
                 req["text"] = seg.text
             rate = 1.0 if c.rate is None else float(c.rate)
+            if rate <= 0:
+                raise SSMLError(f"prosody rate must be > 0, got {rate}")
             jobs.setdefault(rate, []).append((i, req))
         if not jobs:
             raise SSMLError("no synthesizable content in SSML input")
 
         waves: Dict[int, np.ndarray] = {}
         for rate, items in sorted(jobs.items()):
+            # SSML rate is a SPEED multiplier; FS2 ``pace`` multiplies
+            # durations (pace 0.5 = faster) — so rate maps to pace/rate
             outs = self.synthesize_requests(
-                [r for _, r in items], pace=pace * rate,
+                [r for _, r in items], pace=pace / rate,
                 pitch_rate=pitch_rate, energy_rate=energy_rate, gap_s=gap_s,
             )
             for (i, _), w in zip(items, outs):

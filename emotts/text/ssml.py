@@ -50,15 +50,19 @@ class Segment:
     controls: Controls = field(default_factory=Controls)
 
 
-_TIME_RE = re.compile(r"^\s*([0-9.]+)\s*(ms|s)?\s*$")
+_TIME_RE = re.compile(r"^\s*([0-9]+(?:\.[0-9]+)?)\s*(ms|s)\s*$")
+MAX_BREAK_S = 30.0  # hard cap: a request must not allocate minutes of zeros
 
 
 def _parse_time(value: str) -> float:
     m = _TIME_RE.match(value)
-    if not m:
+    if not m:  # the unit is REQUIRED — a bare number is ambiguous (s? ms?)
         raise SSMLError(f"bad break time {value!r} (use e.g. 300ms or 0.5s)")
     t = float(m.group(1))
-    return t / 1000.0 if m.group(2) == "ms" else t
+    t = t / 1000.0 if m.group(2) == "ms" else t
+    if t > MAX_BREAK_S:
+        raise SSMLError(f"break time {value!r} exceeds {MAX_BREAK_S:.0f}s cap")
+    return t
 
 
 def _float_attr(el, name: str, current: Optional[float]) -> Optional[float]:
@@ -79,7 +83,13 @@ def parse_ssml(markup: str) -> List[Segment]:
         root = ET.fromstring(s)
     except ET.ParseError as e:
         raise SSMLError(f"malformed SSML: {e}") from e
-    if root.tag.lower() != "speak":
+
+    def local(tag: str) -> str:
+        # spec-conformant SSML carries xmlns; ElementTree expands tags to
+        # '{uri}name' — strip the namespace so standard tooling output works
+        return tag.rpartition("}")[2].lower()
+
+    if local(root.tag) != "speak":
         raise SSMLError(f"root element must be <speak>, got <{root.tag}>")
 
     segs: List[Segment] = []
@@ -91,7 +101,7 @@ def parse_ssml(markup: str) -> List[Segment]:
     def walk(el, ctrl: Controls) -> None:
         add_text(el.text, ctrl)
         for child in el:
-            tag = child.tag.lower()
+            tag = local(child.tag)
             if tag == "break":
                 segs.append(Segment(
                     "break",
@@ -101,6 +111,15 @@ def parse_ssml(markup: str) -> List[Segment]:
                 ph = child.attrib.get("ph", "").split()
                 if not ph:
                     raise SSMLError("<phoneme> requires a ph attribute")
+                from emotts.text.vocab import PAD, VALID_TOKENS
+
+                bad = [p for p in ph if p not in VALID_TOKENS or p == PAD]
+                if bad:  # silent dropping would misrender the request
+                    raise SSMLError(
+                        f"<phoneme> has non-ARPABET tokens {bad} "
+                        "(stress-marked uppercase ARPABET required, "
+                        "e.g. HH AH0 L OW1)"
+                    )
                 segs.append(Segment("phonemes", phonemes=ph, controls=ctrl))
             elif tag == "voice":
                 if "name" not in child.attrib:

@@ -205,3 +205,25 @@ def test_ssml_endpoint(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(base, "/synthesize", {"ssml": "<blink>no</blink>"})
     assert e.value.code == 400
+
+
+def test_stream_and_batch_reject_unsupported(served):
+    """Validation surfaces as clean 400s: streaming with mixes/ssml fails
+    BEFORE the chunked response starts, /batch rejects ssml, and
+    ssml+mix conflicts are named."""
+    _, base = served
+    import urllib.error
+    for body in (
+        {"stream": True, "text": "hi", "speaker_mix": {"a": 1.0},
+         "emotion": "amused"},
+        {"stream": True, "ssml": "hi"},
+        {"ssml": "Hello.", "speaker_mix": {"a": 0.5, "b": 0.5}},
+    ):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base, "/synthesize", body)
+        assert e.value.code == 400, body
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/batch",
+              {"requests": [{"ssml": "Hello.", "speaker": "a",
+                             "emotion": "amused"}]})
+    assert e.value.code == 400

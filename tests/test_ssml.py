@@ -48,7 +48,12 @@ def test_break_phoneme_prosody():
 @pytest.mark.parametrize("bad", [
     "<speak><blink>x</blink></speak>",           # unknown tag
     '<speak><break time="soon"/></speak>',        # bad time
+    '<speak><break time="5"/></speak>',           # unit is required
+    '<speak><break time="."/></speak>',           # regex-pass float-fail
+    '<speak><break time="120s"/></speak>',        # exceeds the 30s cap
     "<speak><phoneme>x</phoneme></speak>",        # missing ph
+    '<speak><phoneme ph="HH QQ">x</phoneme></speak>',   # non-ARPABET token
+    '<speak><phoneme ph="hh ah0">x</phoneme></speak>',  # lowercase
     '<speak><voice>x</voice></speak>',            # missing name
     "<speak>unclosed <voice name='a'>",           # malformed XML
     '<speak><prosody rate="fast">x</prosody></speak>',  # non-numeric rate
@@ -64,3 +69,12 @@ def test_nested_prosody_override():
         " slow again</prosody>"
     )
     assert [s.controls.rate for s in segs] == [0.8, 1.2, 0.8]
+
+
+def test_namespaced_ssml_accepted():
+    """Spec-conformant markup with the SSML xmlns parses normally."""
+    segs = parse_ssml(
+        '<speak xmlns="http://www.w3.org/2001/10/synthesis">'
+        'Hi <break time="100ms"/>there.</speak>'
+    )
+    assert [s.kind for s in segs] == ["text", "break", "text"]

@@ -441,3 +441,33 @@ def test_ssml_cli(synth, tmp_path, monkeypatch):
     ssml_path.write_text("<nope>x</nope>")
     assert main(["synthesize", "--config", cfg_path,
                  "--ssml-file", str(ssml_path)]) == 2
+
+
+def test_ssml_rate_direction(synth):
+    """SSML rate is a SPEED multiplier: rate>1 must yield FEWER samples
+    (FS2 pace multiplies durations, so the mapping is pace/rate)."""
+    cfg, s = synth
+    slow = s.synthesize_ssml('<prosody rate="0.7">A sentence here.</prosody>')
+    fast = s.synthesize_ssml('<prosody rate="1.5">A sentence here.</prosody>')
+    base = s.synthesize_ssml("A sentence here.")
+    assert len(fast) < len(base) < len(slow)
+    from emotts.text.ssml import SSMLError
+    with pytest.raises(SSMLError):
+        s.synthesize_ssml('<prosody rate="0">x</prosody>')
+
+
+def test_speaker_mix_duplicates_accumulate(synth):
+    """Repeated mix entries sum instead of overwriting."""
+    cfg, s = synth
+    text = "Hello."
+    a = s.synthesize_text(text, 0, 2, speaker_mix=[(0, 0.3), (1, 0.4),
+                                                   (0, 0.3)])
+    b = s.synthesize_text(text, 0, 2, speaker_mix=[(0, 0.6), (1, 0.4)])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_invalid_phoneme_request_rejected(synth):
+    cfg, s = synth
+    with pytest.raises(ValueError, match="non-ARPABET"):
+        s.synthesize_requests(
+            [{"phonemes": "HH AH0 QQ", "speaker": 0, "emotion": 0}])
