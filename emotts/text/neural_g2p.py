@@ -354,6 +354,83 @@ def jax_forward(p, char_ids, phon_in, *, dropout_rate=0.0, rng=None,
     return jnp.einsum("btd,dv->btv", y, p["out_proj"], precision=hi)
 
 
+def jax_batched_greedy_decode(
+    members,
+    char_ids: np.ndarray,
+    n_heads=None,
+) -> np.ndarray:
+    """Batched greedy decode on the default JAX backend (eval tooling).
+
+    ``members`` is one weight dict or a list of them (ensemble — averaged
+    per-step log-probs, same semantics as ``np_ensemble_greedy_decode``);
+    ``char_ids`` is (B, MAX_WORD_LEN) int32.  Returns (B, MAX_PHON_LEN - 1)
+    int32 predicted phoneme ids with EOS-then-PAD tail, ready for
+    ``decode_phoneme_ids`` row by row.
+
+    Matches the numpy per-word decoders exactly except in the pathological
+    case of a hypothesis that never emits EOS: the numpy path can emit
+    MAX_PHON_LEN tokens, this one MAX_PHON_LEN - 1 (both are wrong answers
+    for any valid target, which always contains EOS).
+
+    Each step re-runs the full teacher-forced forward (``jax_forward``) on
+    the growing prefix — O(T^2) in decode length, but T<=32 and the whole
+    batch rides the MXU, so a 27k-word held-out sweep that takes ~1 h with
+    the sequential numpy decode finishes in seconds on a TPU chip.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if isinstance(members, dict):
+        members = [members]
+    heads = n_heads if isinstance(n_heads, list) else None
+    if heads is None:
+        heads = [n_heads or N_HEADS] * len(members)
+    dev_members = [
+        {k: jnp.asarray(v, jnp.float32) for k, v in m.items()} for m in members
+    ]
+    chars = jnp.asarray(char_ids, jnp.int32)
+
+    @jax.jit
+    def run(chars):
+        b = chars.shape[0]
+
+        def step(t, dec_in):
+            if len(dev_members) == 1:
+                # argmax of one log-softmax == argmax of its logits
+                scores = jax_forward(
+                    dev_members[0], chars, dec_in, n_heads=heads[0]
+                )[:, t]
+            else:
+                scores = sum(
+                    jax.nn.log_softmax(
+                        jax_forward(m, chars, dec_in, n_heads=h)[:, t], axis=-1
+                    )
+                    for m, h in zip(dev_members, heads)
+                )
+            nxt = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+            prev = dec_in[:, t]
+            dead = (prev == PHON_EOS) | (prev == PHON_PAD)
+            nxt = jnp.where(dead, PHON_PAD, nxt)
+            return dec_in.at[:, t + 1].set(nxt)
+
+        dec_in = jnp.zeros((b, MAX_PHON_LEN), jnp.int32).at[:, 0].set(PHON_BOS)
+        dec_in = jax.lax.fori_loop(0, MAX_PHON_LEN - 1, step, dec_in)
+        return dec_in[:, 1:]
+
+    # one compiled instance serves every chunk (pad the tail chunk up)
+    n = chars.shape[0]
+    chunk = min(n, 512)
+    outs = []
+    for i in range(0, n, chunk):
+        block = chars[i : i + chunk]
+        pad = chunk - block.shape[0]
+        if pad:
+            block = jnp.pad(block, ((0, pad), (0, 0)))
+        res = np.asarray(run(block))
+        outs.append(res[: chunk - pad] if pad else res)
+    return np.concatenate(outs, axis=0)
+
+
 def init_params(seed: int = 0, d_model: int = D_MODEL, d_ff: int = D_FF,
                 n_enc: int = N_ENC, n_dec: int = N_DEC) -> Dict[str, np.ndarray]:
     """Fresh fp32 weight dict (numpy; framework-agnostic layout)."""

@@ -138,3 +138,39 @@ def test_g2p_full_sentence_valid():
     seq = g.text_to_sequence("The quixotic zyzzyva vocalized, 3 times!")
     assert len(seq) > 10
     assert all(isinstance(i, int) for i in seq)
+
+
+def test_batched_greedy_decode_matches_numpy(model):
+    """jax_batched_greedy_decode (the eval-tool fast path) reproduces the
+    per-word numpy greedy decode token-for-token, including EOS-then-PAD
+    tail semantics and per-row termination inside one batch."""
+    words = [
+        "parity", "checking", "zyzzyva", "cat", "a",
+        "uncopyrightable", "blorptastic", "reminiscence", "ox",
+    ]
+    ids = np.stack([ng.encode_word(w) for w in words])
+    rows = ng.jax_batched_greedy_decode(model.params, ids,
+                                        n_heads=model.n_heads)
+    assert rows.shape == (len(words), ng.MAX_PHON_LEN - 1)
+    for w, row in zip(words, rows):
+        np_out = ng.np_greedy_decode(model.params, ng.encode_word(w),
+                                     model.n_heads)
+        assert ng.decode_phoneme_ids(row) == ng.decode_phoneme_ids(np_out), w
+
+
+def test_batched_greedy_decode_ensemble_matches_numpy(model):
+    """Ensemble batched decode == per-word numpy ensemble decode.  A second
+    'member' is the same weights perturbed, so the averaged-log-prob path is
+    genuinely exercised (not the single-member shortcut)."""
+    rng = np.random.default_rng(3)
+    member2 = {k: v + rng.normal(0, 1e-3, v.shape).astype(np.float32)
+               for k, v in model.params.items()}
+    members = [model.params, member2]
+    heads = [model.n_heads, model.n_heads]
+    words = ["parity", "zyzzyva", "reminiscence", "ox"]
+    ids = np.stack([ng.encode_word(w) for w in words])
+    rows = ng.jax_batched_greedy_decode(members, ids, n_heads=heads)
+    for w, row in zip(words, rows):
+        np_out = ng.np_ensemble_greedy_decode(members, ng.encode_word(w),
+                                              heads)
+        assert ng.decode_phoneme_ids(row) == ng.decode_phoneme_ids(np_out), w

@@ -241,19 +241,30 @@ def evaluate(np_params, pairs, label, decode="greedy", beam=4,
     members = np_params if isinstance(np_params, list) else None
     heads_list = (n_heads if isinstance(n_heads, list)
                   else [n_heads] * (len(members) if members else 1))
+    # greedy (single or ensemble) runs batched on the default JAX backend —
+    # a full 27k-pair held-out sweep in seconds instead of ~1 h of per-word
+    # numpy decodes; beam search stays on the sequential numpy path
+    batched_hyps = None
+    if decode == "greedy":
+        ids_all = np.stack([ng.encode_word(w) for w, _ in pairs])
+        rows = ng.jax_batched_greedy_decode(
+            members if members is not None else np_params,
+            ids_all, heads_list if members is not None else heads_list[0])
+        batched_hyps = [ng.decode_phoneme_ids(r) for r in rows]
     exact = exact_ns = 0
     per_num = per_den = 0
     lts_exact = lts_per_num = 0
-    for w, ref in pairs:
-        ids = ng.encode_word(w)
-        if members is not None:
-            out = ng.np_ensemble_greedy_decode(members, ids, heads_list)
-        elif decode == "beam":
-            out = ng.np_beam_decode(np_params, ids, beam=beam,
-                                    n_heads=heads_list[0])
+    for i, (w, ref) in enumerate(pairs):
+        if batched_hyps is not None:
+            hyp = batched_hyps[i]
         else:
-            out = ng.np_greedy_decode(np_params, ids, heads_list[0])
-        hyp = ng.decode_phoneme_ids(out)
+            ids = ng.encode_word(w)
+            if members is not None:
+                out = ng.np_ensemble_greedy_decode(members, ids, heads_list)
+            else:
+                out = ng.np_beam_decode(np_params, ids, beam=beam,
+                                        n_heads=heads_list[0])
+            hyp = ng.decode_phoneme_ids(out)
         lts = letter_to_sound(w)
         exact += hyp == ref
         exact_ns += _strip(hyp) == _strip(ref)
