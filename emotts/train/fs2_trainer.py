@@ -370,31 +370,46 @@ class FS2Trainer:
         best_val = float("inf")
         patience = 0
         global_step = 0
+        ve = max(1, cfg.train_fs2.validate_every_epochs)
+        ae = max(1, cfg.train_fs2.artifact_every_epochs)
         for epoch in range(cfg.train_fs2.n_epochs):
             if epoch == cfg.train_fs2.profile_epoch:
                 with jax.profiler.trace(os.path.join(exp_path, "profile")):
                     train_means = self.train_epoch(train_loader, epoch, writer, exp_path)
             else:
                 train_means = self.train_epoch(train_loader, epoch, writer, exp_path)
-            val_means = self.valid_epoch(valid_loader, epoch, writer, exp_path)
-            val_loss = val_means.get("total_loss", float("inf"))
-            if verbose:
-                print(
-                    f"[fs2] epoch {epoch}: train {train_means.get('total_loss', 0):.4f} "
-                    f"valid {val_loss:.4f}"
+            next_step = global_step + train_loader.batches_per_epoch(epoch)
+            # the final epoch always validates so best/ is always exported
+            last = (next_step >= cfg.train_fs2.max_iterations
+                    or epoch == cfg.train_fs2.n_epochs - 1)
+            if last or (epoch + 1) % ve == 0:
+                # artifact_every_epochs=1 keeps the historical default (the
+                # inner epoch%10 mel-grid gate); an explicit cadence takes
+                # over the gating entirely
+                val_means = self.valid_epoch(
+                    valid_loader, epoch, writer,
+                    exp_path if (last or (epoch + 1) % ae == 0) else None,
+                    plot_every=10 if ae == 1 else 1,
                 )
-            ckpt.save(self.state)
-            if val_loss < best_val:
-                best_val = val_loss
-                patience = 0
-                ckpt.save_best(
-                    {"params": self.state.params, "batch_stats": self.state.batch_stats}
-                )
-            else:
-                patience += 1
-                if patience >= cfg.train_fs2.patience:
-                    break
-            global_step += train_loader.batches_per_epoch(epoch)
+                val_loss = val_means.get("total_loss", float("inf"))
+                if verbose:
+                    print(
+                        f"[fs2] epoch {epoch}: "
+                        f"train {train_means.get('total_loss', 0):.4f} "
+                        f"valid {val_loss:.4f}"
+                    )
+                ckpt.save(self.state)
+                if val_loss < best_val:
+                    best_val = val_loss
+                    patience = 0
+                    ckpt.save_best(
+                        {"params": self.state.params, "batch_stats": self.state.batch_stats}
+                    )
+                else:
+                    patience += 1
+                    if patience >= cfg.train_fs2.patience:
+                        break
+            global_step = next_step
             if global_step >= cfg.train_fs2.max_iterations:
                 break
         ckpt.close()

@@ -245,6 +245,8 @@ class RankTrainer:
         best_val = float("inf")
         patience = 0
         global_step = 0
+        ve = max(1, cfg.train_rank.validate_every_epochs)
+        ae = max(1, cfg.train_rank.artifact_every_epochs)
         if cfg.train_rank.debug_nans:
             jax.config.update("jax_debug_nans", True)
         for epoch in range(cfg.train_rank.n_epochs):
@@ -253,23 +255,32 @@ class RankTrainer:
                     train_means = self.train_epoch(train_loader, epoch, writer)
             else:
                 train_means = self.train_epoch(train_loader, epoch, writer)
-            val_means = self.validate_epoch(valid_loader, epoch, writer, exp_path)
-            val_loss = val_means.get("loss", float("inf"))
-            if verbose:
-                print(
-                    f"[rank] epoch {epoch}: train {train_means.get('loss', 0):.4f} "
-                    f"valid {val_loss:.4f}"
+            next_step = global_step + train_loader.batches_per_epoch(epoch)
+            # the final epoch always validates so best/ is always exported
+            last = (next_step >= cfg.train_rank.max_iterations
+                    or epoch == cfg.train_rank.n_epochs - 1)
+            if last or (epoch + 1) % ve == 0:
+                val_means = self.validate_epoch(
+                    valid_loader, epoch, writer,
+                    exp_path if (last or (epoch + 1) % ae == 0) else None,
                 )
-            ckpt.save(self.state)
-            if val_loss < best_val:
-                best_val = val_loss
-                patience = 0
-                ckpt.save_best(self.state.params)
-            else:
-                patience += 1
-                if patience >= cfg.train_rank.patience:
-                    break
-            global_step += train_loader.batches_per_epoch(epoch)
+                val_loss = val_means.get("loss", float("inf"))
+                if verbose:
+                    print(
+                        f"[rank] epoch {epoch}: "
+                        f"train {train_means.get('loss', 0):.4f} "
+                        f"valid {val_loss:.4f}"
+                    )
+                ckpt.save(self.state)
+                if val_loss < best_val:
+                    best_val = val_loss
+                    patience = 0
+                    ckpt.save_best(self.state.params)
+                else:
+                    patience += 1
+                    if patience >= cfg.train_rank.patience:
+                        break
+            global_step = next_step
             if global_step >= cfg.train_rank.max_iterations:
                 break
         ckpt.close()

@@ -178,6 +178,16 @@ class TrainConfig:
     checkpoint_every_steps: int = 500
     keep_checkpoints: int = 3
     log_every_steps: int = 50
+    # validation/artifact cadence in EPOCHS (1 = reference behavior:
+    # rank_model/train.py validates and renders a t-SNE every epoch).  On a
+    # tiny corpus or under a fixed max_iterations budget an "epoch" can be a
+    # single step, and the per-epoch host work (sklearn t-SNE, Orbax saves,
+    # vocoded wavs) then dominates wall time; raising these keeps the jitted
+    # step loop hot.  Validation always runs on the final epoch so the best-
+    # checkpoint export is guaranteed; `patience` counts validation RUNS
+    # (not epochs) when validate_every_epochs > 1.
+    validate_every_epochs: int = 1
+    artifact_every_epochs: int = 1
     # observability/debug (SURVEY.md §5: absent in the reference)
     profile_epoch: int = -1  # epoch to capture a jax.profiler trace (-1 = off)
     debug_nans: bool = False  # enable jax_debug_nans for fault isolation

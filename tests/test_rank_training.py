@@ -79,3 +79,29 @@ def test_train_step_loss_decreases(corpus_cfg):
         trainer.state, metrics = trainer._train_step(trainer.state, dict(sharded))
         losses.append(float(jax.device_get(metrics["loss"])))
     assert np.isfinite(losses).all()
+
+
+def test_validation_cadence(corpus_cfg):
+    """validate_every_epochs/artifact_every_epochs throttle the per-epoch
+    host work (validation decode, t-SNE, checkpoint) but the final epoch
+    always validates, so best/ is always exported."""
+    import copy
+    import json
+
+    cfg = copy.deepcopy(corpus_cfg)
+    cfg.train_rank.n_epochs = 5
+    cfg.train_rank.validate_every_epochs = 3
+    cfg.train_rank.artifact_every_epochs = 100  # only the final epoch plots
+    trainer = RankTrainer(cfg, mesh=_small_mesh())
+    exp_path = trainer.fit(verbose=False)
+
+    metrics = (Path(exp_path) / "metrics.jsonl").read_text().splitlines()
+    val_epochs = sorted(
+        json.loads(m)["step"] for m in metrics
+        if json.loads(m)["tag"] == "valid/loss"
+    )
+    # epochs are 0-indexed: cadence hits epoch 2, final epoch 4 always runs
+    assert val_epochs == [2, 4]
+    assert (Path(exp_path) / "best").exists()
+    tsne = sorted(Path(exp_path).glob("tsne_epoch_*.png"))
+    assert [p.name for p in tsne] == ["tsne_epoch_4.png"]
