@@ -189,17 +189,28 @@ def bench_vocoder(cfg, mesh, batch_size) -> dict:
 
 
 def main() -> None:
+    import sys
+
     import jax
 
     from emotts.parallel.mesh import make_mesh
     from emotts.utils.config import Config
 
     mesh = make_mesh(devices=jax.devices()[:1])
+    cfg = Config()
+    if "--fused-attention" in sys.argv:
+        # head-to-head vs the XLA attention: same models, Pallas kernel on
+        cfg.rank_model.fused_attention = True
+        cfg.fastspeech2.fused_attention = True
+        print(json.dumps({"variant": "fused_attention"}))
+    only_fs2 = "--fs2-only" in sys.argv
+    if not only_fs2:
+        for batch in (8, 64):
+            print(json.dumps(bench_rank(cfg, mesh, batch)))
     for batch in (8, 64):
-        print(json.dumps(bench_rank(Config(), mesh, batch)))
-    for batch in (8, 64):
-        print(json.dumps(bench_fs2(Config(), mesh, batch)))
-    print(json.dumps(bench_vocoder(Config(), mesh, 16)))
+        print(json.dumps(bench_fs2(cfg, mesh, batch)))
+    if not only_fs2:
+        print(json.dumps(bench_vocoder(cfg, mesh, 16)))
 
 
 if __name__ == "__main__":
