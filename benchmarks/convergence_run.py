@@ -163,10 +163,15 @@ def main() -> int:
     voc_steps = 0
     for k, steps in enumerate(voc_stages):
         t0 = time.time()
+        # fit() treats n_steps as the TOTAL step target (training resumes at
+        # the checkpointed step counter), so later stages must pass the
+        # cumulative target, not the per-stage increment.
         if voc_exp is None:
-            voc_exp = voc_trainer.fit(n_steps=steps)
+            voc_exp = voc_trainer.fit(n_steps=voc_steps + steps)
         else:
-            voc_trainer.fit(n_steps=steps, exp_path=voc_exp, resume=True)
+            voc_trainer.fit(
+                n_steps=voc_steps + steps, exp_path=voc_exp, resume=True
+            )
         voc_steps += steps
         walls[f"voc_stage{k}"] = time.time() - t0
         # mel-L1 series from the trainer's own metrics stream
