@@ -277,8 +277,10 @@ def main():
             ref = mpd_2d(y, wsp, p)
             check_close(f"p={p} folded", mpd_folded(y, wsp, p), ref, tol)
         for p in PERIODS:
-            a = timed(fwd_bwd(mpd_2d), y, wsp, p)
-            b_ = timed(fwd_bwd(mpd_folded), y, wsp, p)
+            # close over the period: it drives Python-level shape logic
+            # (reflect pad, reshape) and must be static under jit
+            a = timed(fwd_bwd(lambda x, w, _p=p: mpd_2d(x, w, _p)), y, wsp)
+            b_ = timed(fwd_bwd(lambda x, w, _p=p: mpd_folded(x, w, _p)), y, wsp)
             tot2d += a
             totf += b_
             print(f"  p={p:2d} fwd+bwd: 2d {a:7.2f} ms   folded {b_:7.2f} ms")

@@ -203,12 +203,18 @@ def main() -> None:
         cfg.rank_model.fused_attention = True
         cfg.fastspeech2.fused_attention = True
         print(json.dumps({"variant": "fused_attention"}))
+    if "--no-dense-groups" in sys.argv:
+        # A/B: XLA's native grouped-conv lowering in the MSD
+        cfg.train_vocoder.disc_dense_groups = False
+        print(json.dumps({"variant": "grouped_msd"}))
     only_fs2 = "--fs2-only" in sys.argv
-    if not only_fs2:
+    only_vocoder = "--vocoder-only" in sys.argv
+    if not (only_fs2 or only_vocoder):
         for batch in (8, 64):
             print(json.dumps(bench_rank(cfg, mesh, batch)))
-    for batch in (8, 64):
-        print(json.dumps(bench_fs2(cfg, mesh, batch)))
+    if not only_vocoder:
+        for batch in (8, 64):
+            print(json.dumps(bench_fs2(cfg, mesh, batch)))
     if not only_fs2:
         print(json.dumps(bench_vocoder(cfg, mesh, 16)))
 

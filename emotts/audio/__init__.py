@@ -2,6 +2,7 @@ from emotts.audio.f0 import dio, extract_f0, interpolate_unvoiced, stonemask
 from emotts.audio.mel import (
     mel_energy_jax,
     mel_energy_np,
+    mel_full_jax,
     mel_filterbank,
     num_frames,
     stft_magnitude_np,
@@ -17,6 +18,7 @@ __all__ = [
     "stonemask",
     "mel_energy_jax",
     "mel_energy_np",
+    "mel_full_jax",
     "mel_filterbank",
     "num_frames",
     "stft_magnitude_np",

@@ -159,6 +159,57 @@ def _device_constants(sr, n_fft, hop, win_length, n_mels, f_min, f_max):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "floor"))
+def mel_full_jax(
+    y: jnp.ndarray, cfg: AudioConfig, floor: str = "hard"
+) -> jnp.ndarray:
+    """Log-mel for batches whose rows are ALL full length (no padding).
+
+    Equivalent to ``mel_energy_jax(y, full_lengths, cfg, floor)[0]`` — the
+    frames are constructed identically (static reflect pad == the per-row
+    reflect index arithmetic when every row is full), and the same
+    window-folded DFT einsums consume them.  The difference is mechanical:
+    framing here is a static reflect pad + ``n_fft // hop`` shifted slices
+    concatenated on the last axis, instead of a (B, T, n_fft) gather.  The
+    gather's forward AND ITS SCATTER TRANSPOSE in the backward pass cost
+    ~15 ms/step in the full-size vocoder GAN step (tools/profile_step.py
+    --step vocoder: three f32[540672] gather/scatter fusions); slices and
+    their pad-transposes fuse away.  Used by the vocoder trainer's mel loss,
+    where segments are always exactly ``segment_samples`` long.
+    """
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    dft_real, dft_imag, fb = _device_constants(
+        cfg.sampling_rate, n_fft, hop, cfg.win_length, cfg.n_mels, cfg.f_min,
+        cfg.f_max,
+    )
+    b, s = y.shape
+    pad = n_fft // 2
+    t = num_frames(s, hop)
+    ypad = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+    if n_fft % hop == 0:
+        # right-pad (zeros, never read: (t-1)*hop + n_fft <= s + 2*pad) to a
+        # whole number of hop-chunks, then frame t = chunks[t : t + r]
+        r = n_fft // hop
+        extra = (-ypad.shape[1]) % hop
+        if extra:
+            ypad = jnp.pad(ypad, ((0, 0), (0, extra)))
+        chunks = ypad.reshape(b, -1, hop)
+        frames = jnp.concatenate(
+            [chunks[:, i:i + t] for i in range(r)], axis=-1
+        )  # (B, T, n_fft)
+    else:  # pragma: no cover - all shipped configs have hop | n_fft
+        idx = jnp.arange(t)[:, None] * hop + jnp.arange(n_fft)[None, :]
+        frames = ypad[:, idx]
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.einsum("btn,nk->btk", frames, dft_real, precision=hi)
+    im = jnp.einsum("btn,nk->btk", frames, dft_imag, precision=hi)
+    spec = jnp.sqrt(re * re + im * im + 1e-30)
+    mel = jnp.einsum("btk,km->bmt", spec, fb, precision=hi)  # (B, M, T)
+    if floor == "soft":
+        return jnp.log(mel + cfg.clip_val)
+    return jnp.log(jnp.maximum(mel, cfg.clip_val))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "floor"))
 def mel_energy_jax(
     y: jnp.ndarray, lengths: jnp.ndarray, cfg: AudioConfig,
     floor: str = "hard",

@@ -35,7 +35,7 @@ import numpy as np
 import optax
 import orbax.checkpoint as ocp
 
-from emotts.audio.mel import mel_energy_jax
+from emotts.audio.mel import mel_full_jax
 from emotts.audio.wavio import load_wav
 from emotts.losses.gan import (
     discriminator_loss,
@@ -204,7 +204,8 @@ class VocoderTrainer:
             tuple(vc.mpd_periods), vc.disc_channel_mult, dtype=dtype
         )
         self.msd = MultiScaleDiscriminator(
-            vc.msd_scales, vc.disc_channel_mult, dtype=dtype
+            vc.msd_scales, vc.disc_channel_mult,
+            dense_groups=vc.disc_dense_groups, dtype=dtype
         )
 
         key = jax.random.PRNGKey(vc.seed)
@@ -241,9 +242,10 @@ class VocoderTrainer:
         )
 
         def device_mel(y, floor="hard"):
-            lengths = jnp.full((y.shape[0],), y.shape[1], jnp.int32)
-            mel, _, _ = mel_energy_jax(y, lengths, acfg, floor=floor)
-            return mel[:, :, :t_frames]  # (B, M, T)
+            # segments are always exactly segment_samples long → the
+            # gather-free full-length path (same mel values, ~15 ms/step
+            # cheaper through the loss gradient)
+            return mel_full_jax(y, acfg, floor=floor)[:, :, :t_frames]
 
         def gen_fwd(gp, mel_in):
             return self.gen.apply(gp, mel_in.astype(dtype)).astype(jnp.float32)

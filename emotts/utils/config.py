@@ -230,6 +230,10 @@ class VocoderTrainConfig:
     )
     # discriminator scale (1.0 = paper channels; tests shrink it)
     disc_channel_mult: float = 1.0
+    # run the MSD's grouped convs as block-diagonal dense convs — g× the
+    # MACs but solid MXU tiles; measured faster at full size on TPU
+    # (benchmarks/disc_profile.py).  Param layout is unchanged either way.
+    disc_dense_groups: bool = True
     mpd_periods: List[int] = field(default_factory=lambda: [2, 3, 5, 7, 11])
     msd_scales: int = 3
     # conditioning source: "gt" trains on ground-truth mels (from scratch);

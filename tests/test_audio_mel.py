@@ -105,3 +105,21 @@ def test_hann_window_padding():
     assert w.shape == (1024,)
     assert w[:256].sum() == 0 and w[768:].sum() == 0
     assert w[256 + 256] == pytest.approx(1.0)  # window center
+
+
+def test_mel_full_jax_matches_energy_jax_full_rows():
+    """The gather-free full-length path (vocoder GAN loss) must reproduce
+    mel_energy_jax exactly when every row is full length, for both floors."""
+    import jax.numpy as jnp
+
+    from emotts.audio import mel_full_jax
+
+    rng = np.random.default_rng(11)
+    b, s = 3, 4000  # hop does NOT divide s: exercises the right-pad branch
+    y = jnp.asarray(rng.standard_normal((b, s)).astype(np.float32) * 0.3)
+    lengths = jnp.full((b,), s, jnp.int32)
+    for floor in ("hard", "soft"):
+        ref, _, _ = mel_energy_jax(y, lengths, CFG, floor=floor)
+        got = mel_full_jax(y, CFG, floor=floor)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=0)

@@ -79,6 +79,31 @@ def test_discriminator_contracts():
         assert len(f) == 8  # 7 conv layers + post conv
 
 
+def test_msd_dense_groups_parity():
+    """dense_groups re-expresses grouped convs as block-diagonal dense convs:
+    identical param tree (names/shapes/init) and identical outputs."""
+    y = jnp.asarray(
+        np.random.default_rng(2).standard_normal((2, 1024)).astype(np.float32)
+    )
+    grouped = MultiScaleDiscriminator(n_scales=2, channel_mult=0.1)
+    dense = MultiScaleDiscriminator(n_scales=2, channel_mult=0.1,
+                                    dense_groups=True)
+    pg = grouped.init(jax.random.PRNGKey(7), y)
+    pd = dense.init(jax.random.PRNGKey(7), y)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)), pg, pd)
+    og, fg = grouped.apply(pg, y)
+    od, fd = dense.apply(pg, y)
+    for a, b in zip(og, od):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+    for la, lb in zip(fg, fd):
+        for a, b in zip(la, lb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5)
+
+
 def test_period_discriminator_pads_non_divisible():
     from emotts.nn.hifigan_disc import PeriodDiscriminator
 

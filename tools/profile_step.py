@@ -83,6 +83,26 @@ def build_rank(cfg, mesh, batch_size):
     return step, trainer.state
 
 
+def build_vocoder(cfg, mesh, batch_size):
+    from emotts.parallel.mesh import shard_batch
+    from emotts.train.vocoder_trainer import VocoderTrainer
+
+    cfg.train_vocoder.batch_size = batch_size
+    trainer = VocoderTrainer(cfg, mesh=mesh)
+    rng = np.random.default_rng(0)
+    batch = {"y": rng.standard_normal(
+        (batch_size, trainer.segment_samples)).astype(np.float32) * 0.1}
+    sharded = shard_batch(mesh, batch)
+
+    # fold (gen, disc) into one pytree so the generic step-driver below can
+    # thread a single "state" through chained steps
+    def step(state, _batch=dict(sharded)):
+        gs, ds, m = trainer._train_step(state[0], state[1], dict(_batch))
+        return (gs, ds), m
+
+    return step, (trainer.gen_state, trainer.disc_state)
+
+
 def parse_xplane(logdir: str, n_steps: int):
     """Aggregate device-plane self time by op name. Returns [(us, name)]."""
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
@@ -111,7 +131,8 @@ def parse_xplane(logdir: str, n_steps: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--step", choices=["fs2", "rank"], default="fs2")
+    ap.add_argument("--step", choices=["fs2", "rank", "vocoder"],
+                    default="fs2")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--top", type=int, default=35)
@@ -126,7 +147,8 @@ def main():
 
     cfg = Config()
     mesh = make_mesh(devices=jax.devices()[:1])
-    build = {"fs2": build_fs2, "rank": build_rank}[args.step]
+    build = {"fs2": build_fs2, "rank": build_rank,
+             "vocoder": build_vocoder}[args.step]
     step, state = build(cfg, mesh, args.batch)
 
     state, m = step(state)
