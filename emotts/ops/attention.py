@@ -69,12 +69,12 @@ def _keep_mask(shape, rate: float):
 
 def _probs(q_ref, k_ref, bias_ref, scale, dtype):
     """(T, T) probabilities in `dtype`, fp32 softmax — shared fwd/bwd."""
-    q = q_ref[0, :, 0, :]
-    k = k_ref[0, :, 0, :]
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    s = s + bias_ref[0, :][None, :].astype(jnp.float32)
+    s = s + bias_ref[0, 0][None, :].astype(jnp.float32)
     return jax.nn.softmax(s, axis=-1).astype(dtype)
 
 
@@ -87,10 +87,10 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
         keep = _keep_mask(p.shape, rate)
         p = jnp.where(keep, p / (1.0 - rate), jnp.zeros_like(p))
     o = jax.lax.dot_general(
-        p, v_ref[0, :, 0, :], (((1,), (0,)), ((), ())),
+        p, v_ref[0, 0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0, :, 0, :] = o.astype(dtype)
+    o_ref[0, 0] = o.astype(dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
@@ -104,8 +104,8 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
         pd = jnp.where(keep, p / (1.0 - rate), jnp.zeros_like(p))
     else:
         pd = p
-    do = do_ref[0, :, 0, :]
-    v = v_ref[0, :, 0, :]
+    do = do_ref[0, 0]
+    v = v_ref[0, 0]
     # dV = dropout(P)^T dO
     dv = jax.lax.dot_general(
         pd, do, (((0,), (0,)), ((), ())), preferred_element_type=f32
@@ -121,23 +121,28 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     p32 = p.astype(f32)
     ds = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
     ds = (ds * scale).astype(dtype)
-    q = q_ref[0, :, 0, :]
-    k = k_ref[0, :, 0, :]
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
     dq = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=f32
     )
     dk = jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=f32
     )
-    dq_ref[0, :, 0, :] = dq.astype(dtype)
-    dk_ref[0, :, 0, :] = dk.astype(dtype)
-    dv_ref[0, :, 0, :] = dv.astype(dtype)
+    dq_ref[0, 0] = dq.astype(dtype)
+    dk_ref[0, 0] = dk.astype(dtype)
+    dv_ref[0, 0] = dv.astype(dtype)
 
 
 def _grid_spec(b, t, h, d, n_tensor_in: int, n_out: int):
-    # index maps get the prefetched scalar ref appended (*_)
-    tensor = pl.BlockSpec((1, t, 1, d), lambda i, j, *_: (i, 0, j, 0))
-    bias = pl.BlockSpec((1, t), lambda i, j, *_: (i, 0))
+    # kernels consume (B, H, T, D): the blocked (T, D) tile must sit in the
+    # LAST two axes — the TPU lowering requires the trailing block dims to
+    # be (8, 128)-divisible or span the whole array axis, which a size-1
+    # head block in position -2 violates.  Index maps get the prefetched
+    # scalar ref appended (*_).
+    tensor = pl.BlockSpec((1, 1, t, d), lambda i, j, *_: (i, j, 0, 0))
+    # bias rides as (B, 1, T) so its trailing block dims are (1 == axis, T)
+    bias = pl.BlockSpec((1, 1, t), lambda i, j, *_: (i, 0, 0))
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # the per-example seeds
         grid=(b, h),
@@ -146,28 +151,35 @@ def _grid_spec(b, t, h, d, n_tensor_in: int, n_out: int):
     )
 
 
+def _bthd(x):
+    """(B, T, H, D) module layout ↔ (B, H, T, D) kernel layout."""
+    return jnp.transpose(x, (0, 2, 1, 3))
+
+
 def _fwd_impl(q, k, v, bias, seeds, rate: float, interpret):
     b, t, h, d = q.shape
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(
             _fwd_kernel, scale=1.0 / float(np.sqrt(d)), rate=rate
         ),
         grid_spec=_grid_spec(b, t, h, d, n_tensor_in=3, n_out=1),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, t, d), q.dtype),
         interpret=_INTERPRET if interpret is None else interpret,
-    )(seeds, q, k, v, bias)
+    )(seeds, _bthd(q), _bthd(k), _bthd(v), bias[:, None, :])
+    return _bthd(out)
 
 
 def _bwd_impl(q, k, v, bias, seeds, g, rate: float, interpret):
     b, t, h, d = q.shape
-    return tuple(pl.pallas_call(
+    grads = pl.pallas_call(
         functools.partial(
             _bwd_kernel, scale=1.0 / float(np.sqrt(d)), rate=rate
         ),
         grid_spec=_grid_spec(b, t, h, d, n_tensor_in=4, n_out=3),
-        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((b, h, t, d), q.dtype)] * 3,
         interpret=_INTERPRET if interpret is None else interpret,
-    )(seeds, q, k, v, bias, g))
+    )(seeds, _bthd(q), _bthd(k), _bthd(v), bias[:, None, :], _bthd(g))
+    return tuple(_bthd(x) for x in grads)
 
 
 # ---------------------------------------------------------------------------
