@@ -170,11 +170,24 @@ def train(args):
         return (ce * mask).sum() / mask.sum()
 
     @jax.jit
-    def step(p, s, idx, rng):
-        c, di, tg = d_chars[idx], d_dec_in[idx], d_targets[idx]
-        l, g = jax.value_and_grad(loss_fn)(p, c, di, tg, rng)
-        updates, s = opt.update(g, s, p)
-        return optax.apply_updates(p, updates), s, l
+    def epoch_steps(p, s, idxs, keys):
+        """One dispatch per EPOCH: lax.scan over (K, B) batch indices.
+
+        Per-step dispatch through the axon tunnel costs ~25 ms against ~3 ms
+        of compute for this ~14 M-param model — 475 steps/epoch ran at
+        178 s/epoch dispatched singly; scanned, the whole epoch is one
+        device program."""
+
+        def body(carry, xs):
+            p, s = carry
+            idx, rng = xs
+            c, di, tg = d_chars[idx], d_dec_in[idx], d_targets[idx]
+            l, g = jax.value_and_grad(loss_fn)(p, c, di, tg, rng)
+            updates, s = opt.update(g, s, p)
+            return (optax.apply_updates(p, updates), s), l
+
+        (p, s), ls = jax.lax.scan(body, (p, s), (idxs, keys))
+        return p, s, ls
 
     np_rng = np.random.default_rng(init_seed + 1)
     rng = jax.random.PRNGKey(init_seed)
@@ -186,13 +199,12 @@ def train(args):
     t0 = time.time()
     it = 0
     for epoch in range(args.epochs):
-        perm = np_rng.permutation(n)
-        losses = []  # device arrays; sync only at print time
-        for b in range(steps_per_epoch):
-            idx = jnp.asarray(perm[b * args.batch:(b + 1) * args.batch])
-            params, opt_state, l = step(params, opt_state, idx, step_keys[it])
-            losses.append(l)
-            it += 1
+        perm = np_rng.permutation(n)[:steps_per_epoch * args.batch]
+        idxs = jnp.asarray(perm.reshape(steps_per_epoch, args.batch))
+        params, opt_state, losses = epoch_steps(
+            params, opt_state, idxs, step_keys[it:it + steps_per_epoch]
+        )
+        it += steps_per_epoch
         if args.swa_frac > 0 and epoch >= swa_start:
             if swa_sum is None:
                 swa_sum = {k: v.astype(jnp.float32) for k, v in params.items()}
@@ -200,7 +212,7 @@ def train(args):
                 swa_sum = jax.tree.map(lambda a, b: a + b, swa_sum, params)
             swa_n += 1
         if (epoch + 1) % max(1, args.epochs // 12) == 0 or epoch == 0:
-            ep_loss = float(jnp.mean(jnp.stack(losses)))
+            ep_loss = float(jnp.mean(losses))
             print(f"epoch {epoch + 1:3d}/{args.epochs}  loss {ep_loss:.4f}"
                   f"  ({time.time() - t0:.0f}s)", flush=True)
 
