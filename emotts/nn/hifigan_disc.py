@@ -86,31 +86,54 @@ class _GroupedConv1D(nn.Module):
 
 
 class PeriodDiscriminator(nn.Module):
+    """One MPD sub-discriminator.
+
+    ``fold_1d=True`` runs the identical conv stack with the period axis
+    folded into batch — (B, T/p, p, 1) → (B·p, T/p, 1, 1) — so every
+    (5,1)-kernel conv sees a width-1 image.  No conv in the stack mixes the
+    period axis, so outputs and feature maps are bit-identical to the 2-D
+    layout (they are reshaped back before returning); parameters are shared
+    between the two layouts.  On TPU the folded layout wins for the larger
+    periods, where T/p is short and the batch fold restores MXU-sized
+    spatial tiles (benchmarks/disc_profile.py), and loses badly for p=2.
+    """
+
     period: int
     channels: Sequence[int] = (32, 128, 512, 1024)
+    fold_1d: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, y: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         """y: (B, T) waveform → (per-position logits, feature maps)."""
         b, t = y.shape
-        pad = (-t) % self.period
+        p = self.period
+        pad = (-t) % p
         if pad:
             y = jnp.pad(y, ((0, 0), (0, pad)), mode="reflect")
-        x = y.reshape(b, -1, self.period, 1).astype(self.dtype)  # NHWC
+        x = y.reshape(b, -1, p, 1).astype(self.dtype)  # NHWC
+        if self.fold_1d:
+            x = x.transpose(0, 2, 1, 3).reshape(b * p, -1, 1, 1)
+
+        def unfold(z):
+            if not self.fold_1d:
+                return z
+            return (z.reshape(b, p, z.shape[1], z.shape[-1])
+                    .transpose(0, 2, 1, 3))
+
         feats = []
         for ch in self.channels:
             x = nn.Conv(ch, (5, 1), strides=(3, 1), padding=((2, 2), (0, 0)),
                         dtype=self.dtype)(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
-            feats.append(x)
+            feats.append(unfold(x))
         x = nn.Conv(self.channels[-1], (5, 1), padding=((2, 2), (0, 0)),
                     dtype=self.dtype)(x)
         x = nn.leaky_relu(x, LRELU_SLOPE)
-        feats.append(x)
+        feats.append(unfold(x))
         x = nn.Conv(1, (3, 1), padding=((1, 1), (0, 0)), dtype=self.dtype)(x)
-        feats.append(x)
-        return x.reshape(b, -1), feats
+        feats.append(unfold(x))
+        return unfold(x).reshape(b, -1), feats
 
 
 class ScaleDiscriminator(nn.Module):
@@ -147,6 +170,9 @@ class ScaleDiscriminator(nn.Module):
 class MultiPeriodDiscriminator(nn.Module):
     periods: Sequence[int] = (2, 3, 5, 7, 11)
     channel_mult: float = 1.0
+    # periods whose sub-discriminator runs in the batch-folded 1-D layout
+    # (identical math/params; see PeriodDiscriminator.fold_1d)
+    fold_periods: Sequence[int] = ()
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -157,7 +183,8 @@ class MultiPeriodDiscriminator(nn.Module):
         outs, feats = [], []
         for p in self.periods:
             o, f = PeriodDiscriminator(
-                p, channels=chans, dtype=self.dtype, name=f"period_{p}"
+                p, channels=chans, fold_1d=p in tuple(self.fold_periods),
+                dtype=self.dtype, name=f"period_{p}"
             )(y)
             outs.append(o)
             feats.append(f)

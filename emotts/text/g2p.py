@@ -365,7 +365,46 @@ class G2P:
                 b = base(rest) or self._morph(rest)
                 if b:
                     return ph + b
-        return None
+        return self._compound(word)
+
+    def _compound(self, word: str) -> Optional[List[str]]:
+        """Closed-compound decomposition: both halves in the lexicon.
+
+        English compounds keep primary stress on the first element and
+        demote the second element's primary to secondary (moonlight
+        ``M UW1 N + L AY1 T`` → ``M UW1 N L AY2 T``).  Affix rules run
+        first, so suffix-looking tails (-able, -er, -ness …) never reach
+        here; among multiple valid splits the longest first element wins
+        ("bookshops" resolves via the plural rule recursing into this).
+        """
+        lex = self.lexicon
+        n = len(word)
+        if n < 6:
+            return None
+        cands = []
+        for i in range(3, n - 2):  # first part ≥3, second ≥3 chars
+            a, b = word[:i], word[i:]
+            pa = lex.get(a)
+            if pa is None:
+                continue
+            # the second element may itself be inflected (daydreaming =
+            # day + dream+ing); b is strictly shorter, so this terminates
+            pb = lex.get(b) or self._morph(b)
+            if pb is None:
+                continue
+            # both halves need a stressed vowel (reduced function words
+            # make junk compounds)
+            if not any(p.endswith(("1", "2")) for p in pa):
+                continue
+            if not any(p.endswith(("1", "2")) for p in pb):
+                continue
+            # prefer the most balanced split, then the longer second
+            # element: "bookshops" → book|shops, not books|hop
+            cands.append((min(i, n - i), n - i, list(pa), list(pb)))
+        if not cands:
+            return None
+        _, _, pa, pb = max(cands, key=lambda c: (c[0], c[1]))
+        return pa + [p[:-1] + "2" if p.endswith("1") else p for p in pb]
 
     def word_to_phonemes(self, word: str) -> List[str]:
         if word in self.lexicon:

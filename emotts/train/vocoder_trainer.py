@@ -201,7 +201,8 @@ class VocoderTrainer:
 
         self.gen = build_vocoder_generator(cfg)
         self.mpd = MultiPeriodDiscriminator(
-            tuple(vc.mpd_periods), vc.disc_channel_mult, dtype=dtype
+            tuple(vc.mpd_periods), vc.disc_channel_mult,
+            fold_periods=tuple(vc.mpd_fold_periods), dtype=dtype
         )
         self.msd = MultiScaleDiscriminator(
             vc.msd_scales, vc.disc_channel_mult,

@@ -235,6 +235,9 @@ class VocoderTrainConfig:
     # (benchmarks/disc_profile.py).  Param layout is unchanged either way.
     disc_dense_groups: bool = True
     mpd_periods: List[int] = field(default_factory=lambda: [2, 3, 5, 7, 11])
+    # periods to run with the period axis folded into batch (identical math
+    # and params; faster on TPU for the larger periods — disc_profile.py)
+    mpd_fold_periods: List[int] = field(default_factory=list)
     msd_scales: int = 3
     # conditioning source: "gt" trains on ground-truth mels (from scratch);
     # "fs2" fine-tunes on teacher-forced FastSpeech2 PREDICTED mels aligned

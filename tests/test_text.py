@@ -284,3 +284,33 @@ def test_g2p_morphology_combined_affixes():
     }
     for word, expected in cases.items():
         assert g2p.word_to_phonemes(word) == expected, word
+
+
+def test_g2p_compound_decomposition():
+    """Closed compounds with both halves in the lexicon resolve
+    deterministically with compound stress (primary on the first element,
+    second element's primary demoted to secondary) — including inflected
+    second elements and plural compounds."""
+    g2p = G2P(neural=False)
+    cases = {
+        "bookshop": ["B", "UH1", "K", "SH", "AA2", "P"],
+        "bookshops": ["B", "UH1", "K", "SH", "AA2", "P", "S"],
+        "raincoat": ["R", "EY1", "N", "K", "OW2", "T"],
+        "keyboards": ["K", "IY1", "B", "AO2", "R", "D", "Z"],
+        "daydreaming": ["D", "EY1", "D", "R", "IY2", "M", "IH0", "NG"],
+        "babysitter": ["B", "EY1", "B", "IY0", "S", "IH2", "T", "ER0"],
+        "thunderstorms": ["TH", "AH1", "N", "D", "ER0", "S", "T", "AO2",
+                          "R", "M", "Z"],
+    }
+    for word, expected in cases.items():
+        assert word not in g2p.lexicon, word  # must exercise the tier
+        assert g2p.word_to_phonemes(word) == expected, word
+
+
+def test_g2p_compound_rejects_short_and_junk():
+    g2p = G2P(neural=False)
+    # too short for a compound split
+    assert g2p._compound("cat") is None
+    assert g2p._compound("books") is None
+    # no valid both-halves split
+    assert g2p._compound("zzzqqqxxx") is None

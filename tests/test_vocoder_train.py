@@ -104,6 +104,45 @@ def test_msd_dense_groups_parity():
                                        rtol=2e-5, atol=2e-5)
 
 
+def test_mpd_fold_periods_parity():
+    """fold_1d runs the identical conv stack with the period axis folded
+    into batch: same param tree, same logits/feature maps (incl. gradients
+    through a scalar loss)."""
+    y = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, 1200)).astype(np.float32)
+    )
+    base = MultiPeriodDiscriminator(periods=(2, 5, 7), channel_mult=0.1)
+    fold = MultiPeriodDiscriminator(periods=(2, 5, 7), channel_mult=0.1,
+                                    fold_periods=(5, 7))
+    pb = base.init(jax.random.PRNGKey(9), y)
+    pf = fold.init(jax.random.PRNGKey(9), y)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)), pb, pf)
+    ob, fb = base.apply(pb, y)
+    of, ff = fold.apply(pb, y)
+    for a, b in zip(ob, of):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+    for la, lb in zip(fb, ff):
+        assert len(la) == len(lb)
+        for a, b in zip(la, lb):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5)
+
+    def loss(params, model):
+        outs, feats = model.apply(params, y)
+        return sum(jnp.sum(jnp.square(o)) for o in outs) + sum(
+            jnp.sum(jnp.abs(f)) for fl in feats for f in fl)
+
+    gb = jax.grad(loss)(pb, base)
+    gf = jax.grad(loss)(pb, fold)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4), gb, gf)
+
+
 def test_period_discriminator_pads_non_divisible():
     from emotts.nn.hifigan_disc import PeriodDiscriminator
 
