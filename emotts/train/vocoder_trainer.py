@@ -268,8 +268,23 @@ class VocoderTrainer:
                 mel_in = device_mel(y).transpose(0, 2, 1)  # (B, T, M)
 
             metrics: Dict = {}
+            # soft-floored log-mels on BOTH sides of the L1: gradient exists
+            # even while the early generator's spectrum is under the clip
+            # floor (the hard contract floor would silently stall training)
+            mel_soft = device_mel(y, floor="soft")
+
             if self.adversarial:
-                y_hat_det = jax.lax.stop_gradient(gen_fwd(gen_state.params, mel_in))
+                # Single generator forward for the whole step: every G-loss
+                # term depends on gen params only through y_hat, so run the
+                # forward ONCE under jax.vjp, feed its (stop-gradient) value
+                # to the D update, take grad of the G losses w.r.t. y_hat
+                # against the UPDATED discriminator, and pull back through
+                # the saved vjp.  Structurally guarantees the dedup instead
+                # of relying on XLA CSE across the two value_and_grad traces.
+                y_hat, gen_vjp = jax.vjp(
+                    lambda gp: gen_fwd(gp, mel_in), gen_state.params
+                )
+                y_hat_det = jax.lax.stop_gradient(y_hat)
 
                 def d_loss_fn(dp):
                     real_outs, _ = disc_all(dp, y)
@@ -288,33 +303,36 @@ class VocoderTrainer:
                 )
                 metrics["d_loss"] = d_loss
 
-            # soft-floored log-mels on BOTH sides of the L1: gradient exists
-            # even while the early generator's spectrum is under the clip
-            # floor (the hard contract floor would silently stall training)
-            mel_soft = device_mel(y, floor="soft")
-
-            def g_loss_fn(gp):
-                y_hat = gen_fwd(gp, mel_in)
-                mel_hat = device_mel(y_hat, floor="soft")
-                l_mel = mel_l1_loss(mel_hat, mel_soft)
-                total = mel_w * l_mel
-                parts = {"mel_l1": l_mel}
-                if self.adversarial:
-                    fake_outs, fake_feats = disc_all(disc_state.params, y_hat)
-                    real_outs, real_feats = disc_all(
+                def g_loss_from_yhat(yh):
+                    mel_hat = device_mel(yh, floor="soft")
+                    l_mel = mel_l1_loss(mel_hat, mel_soft)
+                    fake_outs, fake_feats = disc_all(disc_state.params, yh)
+                    _, real_feats = disc_all(
                         disc_state.params, jax.lax.stop_gradient(y)
                     )
                     l_adv = generator_adversarial_loss(fake_outs)
                     l_fm = feature_matching_loss(real_feats, fake_feats)
-                    total = total + adv_w * l_adv + fm_w * l_fm
-                    parts["g_adv"] = l_adv
-                    parts["feature_match"] = l_fm
-                parts["g_total"] = total
-                return total, parts
+                    total = mel_w * l_mel + adv_w * l_adv + fm_w * l_fm
+                    parts = {"mel_l1": l_mel, "g_adv": l_adv,
+                             "feature_match": l_fm, "g_total": total}
+                    return total, parts
 
-            (_, parts), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-                gen_state.params
-            )
+                (_, parts), dl_dyhat = jax.value_and_grad(
+                    g_loss_from_yhat, has_aux=True
+                )(y_hat)
+                (g_grads,) = gen_vjp(dl_dyhat)
+            else:
+                def g_loss_fn(gp):
+                    y_hat = gen_fwd(gp, mel_in)
+                    mel_hat = device_mel(y_hat, floor="soft")
+                    l_mel = mel_l1_loss(mel_hat, mel_soft)
+                    total = mel_w * l_mel
+                    parts = {"mel_l1": l_mel, "g_total": total}
+                    return total, parts
+
+                (_, parts), g_grads = jax.value_and_grad(
+                    g_loss_fn, has_aux=True
+                )(gen_state.params)
             g_updates, g_opt = self.gen_tx.update(
                 g_grads, gen_state.opt_state, gen_state.params
             )

@@ -178,6 +178,94 @@ def test_adversarial_step_updates_both(tmp_path):
     assert os.path.exists(os.path.join(exp, "metrics.jsonl"))
 
 
+def test_single_forward_vjp_grads_match_double_forward(tmp_path):
+    """The adversarial step runs the generator forward ONCE (jax.vjp) and
+    reuses it for both the D update and the G pullback.  Its generator
+    gradients must match the naive two-forward formulation (forward for the
+    detached D input + value_and_grad of the composite G loss) exactly up to
+    float32 noise."""
+    from emotts.losses.gan import (
+        discriminator_loss,
+        feature_matching_loss,
+        generator_adversarial_loss,
+        mel_l1_loss,
+    )
+    from emotts.audio.mel import mel_full_jax
+    import optax
+
+    cfg = tiny_cfg(tmp_path, adversarial=1.0)
+    write_corpus(cfg)
+    tr = VocoderTrainer(cfg)
+    rng = np.random.default_rng(3)
+    y = jnp.asarray(
+        rng.standard_normal((2, tr.segment_samples)).astype(np.float32) * 0.1
+    )
+    batch = {"y": y}
+
+    # --- reference: naive double-forward step on the same initial states ---
+    acfg = cfg.audio
+    t_frames = cfg.train_vocoder.segment_frames
+    gen, mpd, msd = tr.gen, tr.mpd, tr.msd
+    gp0 = jax.device_get(tr.gen_state.params)
+    dp0 = jax.device_get(tr.disc_state.params)
+    mel_in = mel_full_jax(y, acfg)[:, :, :t_frames].transpose(0, 2, 1)
+    mel_soft = mel_full_jax(y, acfg, floor="soft")[:, :, :t_frames]
+
+    def disc_all(dp, w):
+        op, fp = mpd.apply(dp["mpd"], w)
+        os_, fs = msd.apply(dp["msd"], w)
+        return op + os_, fp + fs
+
+    y_hat_det = jax.lax.stop_gradient(gen.apply(gp0, mel_in))
+
+    def d_loss_fn(dp):
+        real_outs, _ = disc_all(dp, y)
+        fake_outs, _ = disc_all(dp, y_hat_det)
+        return discriminator_loss(real_outs, fake_outs)
+
+    d_grads = jax.grad(d_loss_fn)(dp0)
+    d_updates, _ = tr.disc_tx.update(
+        d_grads, jax.device_get(tr.disc_state.opt_state), dp0
+    )
+    dp1 = optax.apply_updates(dp0, d_updates)
+
+    def g_loss_fn(gp):
+        y_hat = gen.apply(gp, mel_in)
+        mel_hat = mel_full_jax(y_hat, acfg, floor="soft")[:, :, :t_frames]
+        l_mel = mel_l1_loss(mel_hat, mel_soft)
+        fake_outs, fake_feats = disc_all(dp1, y_hat)
+        _, real_feats = disc_all(dp1, jax.lax.stop_gradient(y))
+        return (
+            cfg.train_vocoder.mel_loss_weight * l_mel
+            + cfg.train_vocoder.adversarial_weight
+            * generator_adversarial_loss(fake_outs)
+            + cfg.train_vocoder.feature_loss_weight
+            * feature_matching_loss(real_feats, fake_feats)
+        )
+
+    g_grads_ref = jax.grad(g_loss_fn)(gp0)
+
+    # --- actual: one trainer step from the same states; recover its grads
+    # by inverting the Adam update is fragile, so instead compare the
+    # updated params against applying the reference grads by hand ---
+    g_updates, _ = tr.gen_tx.update(
+        g_grads_ref, jax.device_get(tr.gen_state.opt_state), gp0
+    )
+    gp1_ref = optax.apply_updates(gp0, g_updates)
+
+    tr._sampler = None  # not used; call the jitted step directly
+    gen_state, disc_state, _ = tr._train_step(tr.gen_state, tr.disc_state, batch)
+    gp1 = jax.device_get(gen_state.params)
+    dp1_actual = jax.device_get(disc_state.params)
+
+    for a, b in zip(jax.tree_util.tree_leaves(gp1_ref),
+                    jax.tree_util.tree_leaves(gp1)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(dp1),
+                    jax.tree_util.tree_leaves(dp1_actual)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+
+
 def test_mel_only_convergence_and_export(tmp_path):
     """adversarial_weight=0 → deterministic mel-only objective; the loss must
     decrease over a short run, and the exported .npz must drive the synthesis
