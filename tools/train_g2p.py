@@ -350,6 +350,10 @@ def main():
                     help="subsample the held-out set for the post-training "
                     "evaluation (the numpy decode is per-word sequential; "
                     "full 20k+-pair sweeps can dominate wall time)")
+    ap.add_argument("--beam-eval", type=int, default=0, metavar="N",
+                    help="also run the sequential numpy beam-4 eval on N "
+                    "held-out words (~1 s/word at d256 — default off; the "
+                    "batched greedy sweep is the headline metric)")
     args = ap.parse_args()
 
     if args.eval_ensemble:
@@ -358,6 +362,22 @@ def main():
         return
 
     raw_params, swa_params, train_pairs, eval_pairs = train(args)
+
+    def save(np_params, metrics=None):
+        out = dict(np_params)
+        out["__version__"] = np.array([1], np.int32)
+        out["__n_heads__"] = np.array([args.heads], np.int32)
+        if metrics is not None:
+            out["__eval_exact__"] = np.array([metrics["exact"]], np.float32)
+            out["__eval_per__"] = np.array([metrics["per"]], np.float32)
+        np.savez_compressed(args.out, **out)
+        size = Path(args.out).stat().st_size / 1e6
+        print(f"saved {args.out} ({size:.1f} MB)", flush=True)
+
+    # crash insurance: persist the final iterate before any evaluation (a
+    # long eval must never be able to lose the trained weights)
+    save(raw_params)
+
     if args.final_eval_limit and len(eval_pairs) > args.final_eval_limit:
         sub_rng = np.random.default_rng(11)
         keep = sub_rng.permutation(len(eval_pairs))[: args.final_eval_limit]
@@ -379,8 +399,7 @@ def main():
 
     evaluate(np_params, sample, "train sample", n_heads=args.heads)
     metrics = evaluate(np_params, eval_pairs, "held-out", n_heads=args.heads)
-    evaluate(np_params, eval_pairs, "held-out", decode="beam",
-             n_heads=args.heads)
+    save(np_params, metrics)  # re-save with the recorded quality metrics
     # base (lexicon-root) words only — the hardest, most honest subset:
     # unseen roots with no morphological signal
     g2p = G2P()
@@ -388,17 +407,10 @@ def main():
     if base_eval:
         evaluate(np_params, base_eval, "held-out base words",
                  n_heads=args.heads)
-        evaluate(np_params, base_eval, "held-out base words", decode="beam",
-                 n_heads=args.heads)
-
-    out = dict(np_params)
-    out["__version__"] = np.array([1], np.int32)
-    out["__n_heads__"] = np.array([args.heads], np.int32)
-    out["__eval_exact__"] = np.array([metrics["exact"]], np.float32)
-    out["__eval_per__"] = np.array([metrics["per"]], np.float32)
-    np.savez_compressed(args.out, **out)
-    size = Path(args.out).stat().st_size / 1e6
-    print(f"saved {args.out} ({size:.1f} MB)")
+    if args.beam_eval:
+        sub = eval_pairs[: args.beam_eval]
+        evaluate(np_params, sub, f"held-out beam ({len(sub)})",
+                 decode="beam", n_heads=args.heads)
 
 
 if __name__ == "__main__":
