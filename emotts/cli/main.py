@@ -50,6 +50,7 @@ def _parse(argv):
             "import-reference",
             "train-vocoder",
             "evaluate",
+            "eval-intensity",
             "serve",
             "g2p",
         ],
@@ -113,8 +114,11 @@ def _parse(argv):
     parser.add_argument("--port", type=int, default=8080,
                         help="(serve) TCP port (0 = pick a free one)")
     parser.add_argument("--text", default=None,
-                        help="(g2p) text to phonemize (default: "
+                        help="(g2p / eval-intensity) input text (default: "
                         "inference.text from the config)")
+    parser.add_argument("--texts-file", default=None,
+                        help="(eval-intensity) file of sentences, one per "
+                        "line, to average the sweep over")
     parser.add_argument("--stream", action="store_true",
                         help="(synthesize --text-file) streaming mode: vocode "
                         "in chunks and report time-to-first-audio")
@@ -364,6 +368,25 @@ def main(argv=None) -> int:
         for k, v in overall.items():
             print(f"[evaluate]   {k}: {v:.4f}")
         print(f"[evaluate] report: {report['path']}")
+
+    elif args.command == "eval-intensity":
+        from emotts.eval.intensity_eval import evaluate_intensity_efficacy
+
+        texts = None
+        if args.texts_file:
+            with open(args.texts_file) as f:
+                texts = [ln.strip() for ln in f if ln.strip()]
+        elif args.text:
+            texts = [args.text]
+        report = evaluate_intensity_efficacy(cfg, texts=texts)
+        print(f"[eval-intensity] {report['n_synthesized']} synthesized "
+              f"({report['feature_path']})")
+        for k in ("monotonic_fraction_strict", "pairwise_order_accuracy",
+                  "monotonic_fraction_cell_mean", "emotion_silhouette_h"):
+            v = report.get(k)
+            val = f"{v:.4f}" if v is not None else "n/a"
+            print(f"[eval-intensity]   {k}: {val}")
+        print(f"[eval-intensity] report: {report['path']}")
 
     elif args.command == "train-vocoder":
         from emotts.train.vocoder_trainer import VocoderTrainer

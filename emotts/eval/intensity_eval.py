@@ -1,0 +1,345 @@
+"""Intensity-control efficacy evaluation — measuring the TITLE capability.
+
+The reference's one demonstrated deliverable is that bucketized intensity
+control *works* (assets/intensities.png, readme.md:102-125; prototypes built
+at rank_model/inference.py:92-118) — but it never measures it.  This module
+closes the loop quantitatively:
+
+  1. synthesize the full (speaker × emotion × level) sweep for one or more
+     sentences with the trained FastSpeech2 + intensity-prototype bank;
+  2. vocode and re-extract mel+pitch+energy from the SYNTHESIZED audio with
+     the framework's own feature chain (emotts/audio/{mel,f0}.py), z-normed
+     with the training-corpus stats.json — i.e. exactly the 82-channel input
+     the rank model was trained on;
+  3. score every synthesized utterance with the FROZEN rank model (λ≡1, the
+     bucketizer's convention) and report:
+       * **intensity monotonicity** — the fraction of (text, speaker,
+         emotion) cells whose level-0/1/2 rank scores are strictly
+         increasing, plus pairwise order accuracy (the probability that a
+         higher requested level scores higher);
+       * **emotion separation** — silhouette of the pooled intensity
+         embeddings h over emotion classes on synthesized audio (the
+         measurable counterpart of the reference's t-SNE figures).
+
+If the synthesizer has no vocoder, the synthesized MEL feeds the rank model
+directly with pitch/energy channels zeroed (= their z-scored training mean);
+the report labels which path produced it (``feature_path``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emotts.audio.f0 import extract_f0, interpolate_unvoiced
+from emotts.audio.mel import mel_energy_np
+from emotts.data.datasets import pick_bucket
+from emotts.train.rank_trainer import build_rank_model
+from emotts.utils.config import Config
+
+
+def load_feature_stats(cfg: Config) -> Dict:
+    """stats.json written by preprocessing: per (speaker, emotion)
+    ``{"pitch": [min, max, mean, std], "energy": [...]}``."""
+    path = os.path.join(cfg.data.preprocessed_path, "stats.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+class IntensityEfficacyEvaluator:
+    """Scores synthesized audio with the frozen rank model.
+
+    ``synthesizer`` is an ``emotts.infer.synthesize.Synthesizer`` with the
+    intensity bank loaded; ``rank_params`` the frozen rank-model params
+    (the same checkpoint the bucketizer used); ``stats`` the training
+    stats.json dict (``load_feature_stats``).
+    """
+
+    def __init__(self, cfg: Config, synthesizer, rank_params, stats: Dict):
+        self.cfg = cfg
+        self.synth = synthesizer
+        self.stats = stats
+        self.rank_model = build_rank_model(cfg, dtype=jnp.float32)
+        self.rank_params = rank_params
+
+        def forward(params, x, emotions, lengths):
+            b = x.shape[0]
+            lambdas = jnp.ones((2, b), jnp.float32)
+            preds = self.rank_model.apply(
+                params, x, x, emotions, lengths, lambdas
+            )
+            # with λ≡1 branch i consumes the pure input: I_i, h_i, r_i
+            return preds[2], preds[4], preds[6]
+
+        self._rank_fn = jax.jit(forward)
+
+    # -- feature re-extraction from synthesized outputs -------------------
+
+    def _znorm(self, values: np.ndarray, spk: str, emo: str, field: str
+               ) -> np.ndarray:
+        _, _, mean, std = self.stats[spk][emo][field]
+        return (values - mean) / (std if std > 0 else 1.0)
+
+    def _x_from_wav(self, wav: np.ndarray, spk: str, emo: str) -> np.ndarray:
+        """82-channel rank input from a synthesized float waveform, through
+        the SAME chain preprocessing uses on real recordings."""
+        cfg = self.cfg
+        mel, energy = mel_energy_np(wav.astype(np.float32), cfg.audio)
+        pitch = interpolate_unvoiced(
+            extract_f0(
+                wav.astype(np.float64), cfg.audio.hop_length,
+                cfg.audio.sampling_rate,
+            )
+        )
+        t = min(mel.shape[1], len(pitch), len(energy))  # mel is (n_mels, T)
+        if t == 0:
+            return np.zeros((0, cfg.audio.n_mels + 2), np.float32)
+        pitch = self._znorm(pitch[:t].astype(np.float32), spk, emo, "pitch")
+        energy = self._znorm(energy[:t].astype(np.float32), spk, emo, "energy")
+        return np.concatenate(
+            [mel[:, :t].T, pitch[:, None], energy[:, None]], axis=1
+        ).astype(np.float32)
+
+    def _x_from_mel(self, mel: np.ndarray) -> np.ndarray:
+        """Vocoder-less fallback: synthesized mel + zeroed (= mean-valued)
+        pitch/energy channels."""
+        t = len(mel)
+        pad = np.zeros((t, 2), np.float32)
+        return np.concatenate([mel, pad], axis=1).astype(np.float32)
+
+    # -- rank-model scoring ------------------------------------------------
+
+    def _score_rows(self, xs: List[np.ndarray], emotions: List[int]):
+        """Batch variable-length rows through the jitted rank forward,
+        bucketed like training.  Returns (scores (N,), pooled_h (N, n_emo))."""
+        cfg = self.cfg
+        order = sorted(range(len(xs)), key=lambda i: len(xs[i]))
+        scores = np.zeros((len(xs),), np.float32)
+        pooled = np.zeros((len(xs), cfg.n_emotions), np.float32)
+        max_bucket = max(cfg.bucketing.frame_buckets)
+        batch_size = max(1, cfg.train_rank.batch_size)
+        groups: Dict[int, List[int]] = defaultdict(list)
+        for i in order:
+            t = min(len(xs[i]), max_bucket)
+            fb = pick_bucket(t, cfg.bucketing.frame_buckets)
+            groups[fb if fb > 0 else t].append(i)
+        for fb, idxs in sorted(groups.items()):
+            for s in range(0, len(idxs), batch_size):
+                chunk = idxs[s : s + batch_size]
+                b = len(chunk)
+                x = np.zeros((batch_size, fb, cfg.audio.n_mels + 2),
+                             np.float32)
+                lens = np.zeros((batch_size,), np.int32)
+                emos = np.zeros((batch_size,), np.int32)
+                for row, i in enumerate(chunk):
+                    t = min(len(xs[i]), fb)
+                    x[row, :t] = xs[i][:t]
+                    lens[row] = t
+                    emos[row] = emotions[i]
+                _, h, r = jax.device_get(
+                    self._rank_fn(self.rank_params, x, emos, lens)
+                )
+                for row, i in enumerate(chunk):
+                    scores[i] = float(r[row])
+                    pooled[i] = np.asarray(h[row], np.float32)
+        return scores, pooled
+
+    # -- the sweep ----------------------------------------------------------
+
+    def run(
+        self,
+        texts: Optional[Sequence[str]] = None,
+        levels: Optional[Sequence[float]] = None,
+        out_path: Optional[str] = None,
+        include_neutral: bool = True,
+    ) -> Dict:
+        cfg = self.cfg
+        texts = list(texts) if texts else [cfg.inference.text]
+        if levels is None:
+            levels = list(range(cfg.inference.bucket_size))
+        levels = [float(v) for v in levels]
+        speakers = list(cfg.data.speakers)
+        emotions = list(cfg.data.emotions)
+        use_vocoder = self.synth.vocoder_params is not None
+        hop = cfg.audio.hop_length
+
+        rows = []  # dicts: text_i, spk, emo, level, x
+        for text_i, text in enumerate(texts):
+            ids = self.synth.text_to_phoneme_ids(text)
+            combos = []
+            for s in range(len(speakers)):
+                for e in range(len(emotions)):
+                    if e == 0:
+                        if include_neutral:
+                            combos.append((s, e, 0.0))
+                        continue
+                    combos.extend((s, e, lv) for lv in levels)
+            spk_arr = np.array([s for s, _, _ in combos], np.int32)
+            inten = np.stack(
+                [
+                    self.synth.intensity_for(s, e, lv, len(ids))
+                    for s, e, lv in combos
+                ]
+            )
+            mel, lens = self.synth.synthesize_mels(ids, spk_arr, inten)
+            lens = np.asarray(jax.device_get(lens))
+            if use_vocoder:
+                pcm = self.synth.vocode(mel)
+                t_max = max(1, int(lens.max())) * hop
+                wav_np = (
+                    np.asarray(jax.device_get(pcm[:, :t_max]), np.float32)
+                    / 32767.0
+                )
+            else:
+                mel_np = np.asarray(jax.device_get(mel), np.float32)
+            for i, (s, e, lv) in enumerate(combos):
+                n = int(lens[i])
+                if n <= 0:
+                    continue
+                if use_vocoder:
+                    x = self._x_from_wav(
+                        wav_np[i, : n * hop], speakers[s], emotions[e]
+                    )
+                else:
+                    x = self._x_from_mel(mel_np[i, :n])
+                if len(x) == 0:
+                    continue
+                rows.append(
+                    dict(text_i=text_i, spk=s, emo=e, level=lv, x=x)
+                )
+
+        scores, pooled = self._score_rows(
+            [r["x"] for r in rows], [r["emo"] for r in rows]
+        )
+        for r, sc in zip(rows, scores):
+            r["score"] = float(sc)
+
+        report = self._metrics(rows, pooled, levels)
+        report["n_texts"] = len(texts)
+        report["levels"] = levels
+        report["feature_path"] = (
+            "vocoded_audio" if use_vocoder else "mel_only(pitch/energy zeroed)"
+        )
+        if out_path:
+            with open(out_path, "w") as f:
+                json.dump(report, f, indent=2)
+            report["path"] = out_path
+        return report
+
+    # -- metrics -------------------------------------------------------------
+
+    def _metrics(self, rows, pooled: np.ndarray, levels) -> Dict:
+        cfg = self.cfg
+        speakers = list(cfg.data.speakers)
+        emotions = list(cfg.data.emotions)
+
+        # (text, spk, emo) -> {level: score}
+        cells: Dict = defaultdict(dict)
+        for r in rows:
+            if r["emo"] == 0:
+                continue
+            cells[(r["text_i"], r["spk"], r["emo"])][r["level"]] = r["score"]
+
+        strict = 0
+        n_cells = 0
+        pair_ok = pair_tot = 0
+        for key, by_level in cells.items():
+            if len(by_level) < 2:
+                continue
+            seq = [by_level[lv] for lv in sorted(by_level)]
+            n_cells += 1
+            strict += all(a < b for a, b in zip(seq, seq[1:]))
+            for i in range(len(seq)):
+                for j in range(i + 1, len(seq)):
+                    pair_tot += 1
+                    pair_ok += seq[i] < seq[j]
+
+        # per-(spk,emo) mean score per level across texts
+        agg: Dict = defaultdict(lambda: defaultdict(list))
+        for (_, s, e), by_level in cells.items():
+            for lv, sc in by_level.items():
+                agg[(s, e)][lv].append(sc)
+        by_cell = {}
+        cell_strict = 0
+        for (s, e), by_level in sorted(agg.items()):
+            means = [
+                float(np.mean(by_level[lv])) for lv in sorted(by_level)
+            ]
+            mono = bool(all(a < b for a, b in zip(means, means[1:])))
+            cell_strict += mono
+            by_cell[f"{speakers[s]}/{emotions[e]}"] = {
+                "score_mean_per_level": [round(m, 4) for m in means],
+                "monotone_strict": mono,
+            }
+
+        # emotion separation on pooled h (synthesized audio)
+        labels = np.array([r["emo"] for r in rows], np.int32)
+        silhouette = None
+        if len(set(labels.tolist())) >= 2 and len(labels) > len(set(labels.tolist())):
+            try:
+                from sklearn.metrics import silhouette_score
+
+                silhouette = float(silhouette_score(pooled, labels))
+            except Exception:  # sklearn genuinely unavailable
+                silhouette = None
+
+        report = {
+            "n_synthesized": len(rows),
+            "n_level_cells": n_cells,
+            "monotonic_fraction_strict": (
+                strict / n_cells if n_cells else None
+            ),
+            "pairwise_order_accuracy": (
+                pair_ok / pair_tot if pair_tot else None
+            ),
+            "monotonic_fraction_cell_mean": (
+                cell_strict / len(agg) if agg else None
+            ),
+            "emotion_silhouette_h": silhouette,
+            "by_cell": by_cell,
+        }
+        return report
+
+
+def evaluate_intensity_efficacy(
+    cfg: Config,
+    fs2_exp: Optional[str] = None,
+    rank_exp: Optional[str] = None,
+    texts: Optional[Sequence[str]] = None,
+    out_path: Optional[str] = None,
+) -> Dict:
+    """Assemble everything from experiment artifacts and run the eval.
+
+    Mirrors ``emotts.infer.synthesize.load_synthesizer``'s artifact contract:
+    best FS2 checkpoint + ``intensity.npy`` from the rank experiment +
+    optional converted vocoder; the rank checkpoint itself provides the
+    frozen scorer."""
+    from emotts.infer.synthesize import load_synthesizer
+    from emotts.train.checkpoint import load_best_params
+    from emotts.train.rank_trainer import build_rank_model as _brm
+    from emotts.train.rank_trainer import init_rank_params
+
+    fs2_exp = fs2_exp or os.path.join(
+        cfg.data.experiment_path, "fastspeech2", cfg.inference.fs2_exp
+    )
+    rank_exp = rank_exp or os.path.join(
+        cfg.data.experiment_path, "rank_model", cfg.inference.rank_exp
+    )
+    synth = load_synthesizer(cfg, fs2_exp=fs2_exp, rank_exp=rank_exp)
+    if synth.intensity_bank is None:
+        raise FileNotFoundError(
+            f"no intensity.npy under {rank_exp} — run `bucketize` first"
+        )
+    template = init_rank_params(cfg, _brm(cfg, jnp.float32), 0)
+    rank_params = load_best_params(rank_exp, template)
+    stats = load_feature_stats(cfg)
+    ev = IntensityEfficacyEvaluator(cfg, synth, rank_params, stats)
+    if out_path is None:
+        out_path = os.path.join(fs2_exp, "intensity_eval.json")
+    return ev.run(texts=texts, out_path=out_path)

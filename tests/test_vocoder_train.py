@@ -253,7 +253,6 @@ def test_single_forward_vjp_grads_match_double_forward(tmp_path):
     )
     gp1_ref = optax.apply_updates(gp0, g_updates)
 
-    tr._sampler = None  # not used; call the jitted step directly
     gen_state, disc_state, _ = tr._train_step(tr.gen_state, tr.disc_state, batch)
     gp1 = jax.device_get(gen_state.params)
     dp1_actual = jax.device_get(disc_state.params)

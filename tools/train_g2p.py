@@ -363,20 +363,25 @@ def main():
 
     raw_params, swa_params, train_pairs, eval_pairs = train(args)
 
-    def save(np_params, metrics=None):
+    def save(np_params, metrics=None, path=None):
         out = dict(np_params)
         out["__version__"] = np.array([1], np.int32)
         out["__n_heads__"] = np.array([args.heads], np.int32)
         if metrics is not None:
             out["__eval_exact__"] = np.array([metrics["exact"]], np.float32)
             out["__eval_per__"] = np.array([metrics["per"]], np.float32)
-        np.savez_compressed(args.out, **out)
-        size = Path(args.out).stat().st_size / 1e6
-        print(f"saved {args.out} ({size:.1f} MB)", flush=True)
+        path = str(path or args.out)
+        np.savez_compressed(path, **out)
+        if not path.endswith(".npz"):
+            path += ".npz"  # np.savez appends the suffix if missing
+        size = Path(path).stat().st_size / 1e6
+        print(f"saved {path} ({size:.1f} MB)", flush=True)
 
-    # crash insurance: persist the final iterate before any evaluation (a
-    # long eval must never be able to lose the trained weights)
-    save(raw_params)
+    # crash insurance: persist the final iterate before any evaluation — to a
+    # DISTINCT path, so a run that dies mid-eval can never leave an
+    # unevaluated artifact at args.out masquerading as a shipped model
+    # (tests/test_neural_g2p.py expects bundled weights to carry metrics)
+    save(raw_params, path=Path(args.out).with_suffix(".unevaluated.npz"))
 
     if args.final_eval_limit and len(eval_pairs) > args.final_eval_limit:
         sub_rng = np.random.default_rng(11)
@@ -399,7 +404,8 @@ def main():
 
     evaluate(np_params, sample, "train sample", n_heads=args.heads)
     metrics = evaluate(np_params, eval_pairs, "held-out", n_heads=args.heads)
-    save(np_params, metrics)  # re-save with the recorded quality metrics
+    save(np_params, metrics)  # save with the recorded quality metrics
+    Path(args.out).with_suffix(".unevaluated.npz").unlink(missing_ok=True)
     # base (lexicon-root) words only — the hardest, most honest subset:
     # unseen roots with no morphological signal
     g2p = G2P()
@@ -408,7 +414,11 @@ def main():
         evaluate(np_params, base_eval, "held-out base words",
                  n_heads=args.heads)
     if args.beam_eval:
-        sub = eval_pairs[: args.beam_eval]
+        # seeded subsample (not a corpus-ordered head slice) so the beam
+        # metric is representative of the held-out distribution
+        beam_rng = np.random.default_rng(13)
+        pick = beam_rng.permutation(len(eval_pairs))[: args.beam_eval]
+        sub = [eval_pairs[i] for i in pick]
         evaluate(np_params, sub, f"held-out beam ({len(sub)})",
                  decode="beam", n_heads=args.heads)
 
