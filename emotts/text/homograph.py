@@ -203,6 +203,110 @@ H: Dict[str, Dict] = {
                         v="AH0 P R AA1 K S AH0 M EY2 T", d="a"),
 }
 
+# Third-wave extension toward the full Wikipedia heteronym inventory
+# (VERDICT r2 #8).  Defaults are anchored to the bundled lexicon entry
+# wherever the word is in the lexicon (test_defaults_match_lexicon).
+H.update({
+    # --- noun/verb stress alternation ---
+    "abstract": dict(n="AE1 B S T R AE2 K T", v="AE0 B S T R AE1 K T",
+                     d="n"),
+    "accent": dict(n="AE1 K S EH2 N T", v="AE0 K S EH1 N T", d="n"),
+    "addict": dict(n="AE1 D IH0 K T", v="AH0 D IH1 K T", d="n"),
+    "address": dict(v="AH0 D R EH1 S", n="AE1 D R EH2 S", d="v"),
+    "affix": dict(v="AH0 F IH1 K S", n="AE1 F IH0 K S", d="v"),
+    "ally": dict(n="AE1 L AY0", v="AH0 L AY1", d="n"),
+    "annex": dict(n="AE1 N EH2 K S", v="AH0 N EH1 K S", d="n"),
+    "commune": dict(n="K AA1 M Y UW0 N", v="K AH0 M Y UW1 N", d="n"),
+    "conscript": dict(n="K AA1 N S K R IH0 P T",
+                      v="K AH0 N S K R IH1 P T", d="n"),
+    "conserve": dict(v="K AH0 N S ER1 V", n="K AA1 N S ER0 V", d="v"),
+    "consort": dict(n="K AA1 N S AO0 R T", v="K AH0 N S AO1 R T", d="n"),
+    "construct": dict(v="K AH0 N S T R AH1 K T",
+                      n="K AA1 N S T R AH0 K T", d="v"),
+    "entrance": dict(n="EH1 N T R AH0 N S", v="EH0 N T R AE1 N S", d="n"),
+    "excise": dict(n="EH1 K S AY0 Z", v="EH0 K S AY1 Z", d="n"),
+    "ferment": dict(v="F ER0 M EH1 N T", n="F ER1 M EH0 N T", d="v"),
+    "fragment": dict(n="F R AE1 G M AH0 N T", v="F R AE0 G M EH1 N T",
+                     d="n"),
+    "impact": dict(n="IH1 M P AE0 K T", v="IH0 M P AE1 K T", d="n"),
+    "incense": dict(n="IH1 N S EH0 N S", v="IH0 N S EH1 N S", d="n"),
+    "intrigue": dict(v="IH0 N T R IY1 G", n="IH1 N T R IY0 G", d="v"),
+    "invite": dict(v="IH0 N V AY1 T", n="IH1 N V AY2 T", d="v"),
+    "overhaul": dict(v="OW2 V ER0 HH AO1 L", n="OW1 V ER0 HH AO2 L",
+                     d="v"),
+    "overlap": dict(v="OW2 V ER0 L AE1 P", n="OW1 V ER0 L AE2 P", d="v"),
+    "overthrow": dict(v="OW2 V ER0 TH R OW1", n="OW1 V ER0 TH R OW2",
+                      d="v"),
+    "rampage": dict(n="R AE1 M P EY2 JH", v="R AE0 M P EY1 JH", d="n"),
+    "recall": dict(v="R IH0 K AO1 L", n="R IY1 K AO2 L", d="v"),
+    "recap": dict(n="R IY1 K AE2 P", v="R IY0 K AE1 P", d="n"),
+    "relay": dict(n="R IY1 L EY0", v="R IY0 L EY1", d="n"),
+    "remake": dict(v="R IY0 M EY1 K", n="R IY1 M EY2 K", d="v"),
+    "replay": dict(n="R IY1 P L EY2", v="R IY0 P L EY1", d="n"),
+    "reprint": dict(v="R IY0 P R IH1 N T", n="R IY1 P R IH0 N T", d="v"),
+    "reset": dict(v="R IY0 S EH1 T", n="R IY1 S EH2 T", d="v"),
+    "retard": dict(v="R IH0 T AA1 R D", n="R IY1 T AA0 R D", d="v"),
+    "rewrite": dict(v="R IY0 R AY1 T", n="R IY1 R AY2 T", d="v"),
+    "segment": dict(n="S EH1 G M AH0 N T", v="S EH0 G M EH1 N T", d="n"),
+    "torment": dict(n="T AO1 R M EH2 N T", v="T AO0 R M EH1 N T", d="n"),
+    "update": dict(v="AH0 P D EY1 T", n="AH1 P D EY2 T", d="v"),
+    "uplift": dict(v="AH0 P L IH1 F T", n="AH1 P L IH2 F T", d="v"),
+    "offset": dict(n="AO1 F S EH2 T", v="AO0 F S EH1 T", d="n"),
+    "downgrade": dict(v="D AW0 N G R EY1 D", n="D AW1 N G R EY2 D",
+                      d="v"),
+    # --- noun vs adjective stress ---
+    # "an invalid argument" (determiner context) is the ADJECTIVE; the
+    # hospital-bed noun is rare enough that det context prefers "a"
+    "invalid": dict(a="IH0 N V AE1 L AH0 D", n="IH1 N V AH0 L AH0 D",
+                    d="a", det="a"),
+    "frequent": dict(a="F R IY1 K W AH0 N T", v="F R IY0 K W EH1 N T",
+                     d="a"),
+    # --- final-consonant voicing (S noun / Z verb) ---
+    "misuse": dict(v="M IH0 S Y UW1 Z", n="M IH0 S Y UW1 S", d="v"),
+    "diffuse": dict(v="D IH0 F Y UW1 Z", a="D IH0 F Y UW1 S", d="v"),
+    # --- vowel-quality: the meal vs the battering ---
+    "buffet": dict(n="B AH0 F EY1", v="B AH1 F AH0 T", d="n",
+                   cues={"wind", "winds", "wave", "waves", "storm",
+                         "storms", "gust", "gusts"},
+                   cue_tag="v"),
+    # --- -ate adjective/noun (AH0 T) vs verb (EY2 T) ---
+    "animate": dict(v="AE1 N AH0 M EY2 T", a="AE1 N AH0 M AH0 T", d="v"),
+    "affiliate": dict(v="AH0 F IH1 L IY0 EY2 T",
+                      n="AH0 F IH1 L IY0 AH0 T", d="v"),
+    "conglomerate": dict(n="K AH0 N G L AA1 M ER0 AH0 T",
+                         v="K AH0 N G L AA1 M ER0 EY2 T", d="n"),
+    "consummate": dict(v="K AA1 N S AH0 M EY2 T",
+                       a="K AH0 N S AH1 M AH0 T", d="v"),
+    "degenerate": dict(a="D IH0 JH EH1 N ER0 AH0 T",
+                       v="D IH0 JH EH1 N ER0 EY2 T", d="a"),
+    "desolate": dict(a="D EH1 S AH0 L AH0 T", v="D EH1 S AH0 L EY2 T",
+                     d="a"),
+    "initiate": dict(v="IH0 N IH1 SH IY0 EY2 T",
+                     n="IH0 N IH1 SH IY0 AH0 T", d="v"),
+    "laminate": dict(v="L AE1 M AH0 N EY2 T", n="L AE1 M AH0 N AH0 T",
+                     d="v"),
+    "postulate": dict(v="P AA1 S CH AH0 L EY2 T",
+                      n="P AA1 S CH AH0 L AH0 T", d="v"),
+    "predicate": dict(n="P R EH1 D AH0 K AH0 T",
+                      v="P R EH1 D AH0 K EY2 T", d="n"),
+    "subordinate": dict(n="S AH0 B AO1 R D AH0 N AH0 T",
+                        v="S AH0 B AO1 R D AH0 N EY2 T", d="n"),
+    "syndicate": dict(n="S IH1 N D IH0 K AH0 T",
+                      v="S IH1 N D IH0 K EY2 T", d="n"),
+})
+
+# the third-wave words, exported so the coverage test can enumerate them
+THIRD_WAVE = frozenset(
+    "abstract accent addict address affix ally annex commune conscript "
+    "conserve consort construct entrance excise ferment fragment impact "
+    "incense intrigue invite overhaul overlap overthrow rampage recall "
+    "recap relay remake replay reprint reset retard rewrite segment "
+    "torment update uplift offset downgrade invalid frequent misuse "
+    "diffuse buffet animate affiliate conglomerate consummate degenerate "
+    "desolate initiate laminate postulate predicate subordinate "
+    "syndicate".split()
+)
+
 # ---------------------------------------------------------------------------
 # POS-lite context tagger (over cleaned, lowercased word sequences)
 # ---------------------------------------------------------------------------

@@ -9,7 +9,7 @@ and the tagger's behavior on the canonical contrast pairs.
 import pytest
 
 from emotts.text.g2p import G2P
-from emotts.text.homograph import H, resolve, resolve_word, words_of
+from emotts.text.homograph import H, THIRD_WAVE, resolve, resolve_word, words_of
 from emotts.text.vocab import VALID_TOKENS
 
 
@@ -34,6 +34,20 @@ def test_table_wellformed():
             assert sum(p.endswith("1") for p in phones) == 1, (word, tag)
         if "cues" in entry:
             assert entry["cue_tag"] in entry, word
+
+
+def test_third_wave_coverage():
+    """The round-3 extension toward the full Wikipedia heteronym list:
+    every enumerated word is in the table with >=2 phonemically distinct
+    readings."""
+    assert len(THIRD_WAVE) >= 55
+    assert len(H) >= 150
+    reading_tags = {"n", "v", "a", "past"}
+    for word in THIRD_WAVE:
+        entry = H.get(word)
+        assert entry is not None, word
+        readings = {t: p for t, p in entry.items() if t in reading_tags}
+        assert len(set(readings.values())) >= 2, word
 
 
 def test_defaults_match_lexicon(g2p):
@@ -114,6 +128,36 @@ def test_defaults_match_lexicon(g2p):
         # irregular verb pasts: regular -ed belongs to the other reading
         ("He was winded after the sprint.", "W IH1 N D AH0 D"),
         ("The road was winding.", "W AY1 N D IH0 NG"),
+        # third-wave entries: noun/verb stress
+        ("Storms will impact the coast.", "IH0 M P AE1 K T"),
+        ("The impact was severe.", "IH1 M P AE0 K T"),
+        ("They plan to annex the region.", "AH0 N EH1 K S"),
+        ("The annex was built last year.", "AE1 N EH2 K S"),
+        ("Please update the software.", "AH0 P D EY1 T"),
+        ("A software update.", "AH1 P D EY2 T"),
+        ("We will segment the market.", "S EH0 G M EH1 N T"),
+        ("A segment of the market.", "S EH1 G M AH0 N T"),
+        ("They torment the prisoners.", "T AO0 R M EH1 N T"),
+        ("The torment never ended.", "T AO1 R M EH2 N T"),
+        ("An abstract idea.", "AE1 B S T R AE2 K T"),
+        ("They recall the event.", "R IH0 K AO1 L"),
+        ("A product recall.", "R IY1 K AO2 L"),
+        ("An army of one ally.", "AE1 L AY0"),
+        ("They ally themselves with us.", "AH0 L AY1"),
+        # third-wave: determiner prefers adjective where flagged
+        ("An invalid argument.", "IH0 N V AE1 L AH0 D"),
+        ("The results were invalid.", "IH0 N V AE1 L AH0 D"),
+        # third-wave: voicing pairs and -ate pairs
+        ("They misuse the system.", "M IH0 S Y UW1 Z"),
+        ("A misuse of power.", "M IH0 S Y UW1 S"),
+        ("The light was diffuse.", "D IH0 F Y UW1 S"),
+        ("We estimate it will diffuse slowly.", "D IH0 F Y UW1 Z"),
+        ("A subordinate clause.", "S AH0 B AO1 R D AH0 N AH0 T"),
+        ("The predicate of the sentence.", "P R EH1 D AH0 K AH0 T"),
+        ("We will initiate the sequence.", "IH0 N IH1 SH IY0 EY2 T"),
+        # third-wave: cue-driven (buffet the meal vs the battering)
+        ("The breakfast buffet opens early.", "B AH0 F EY1"),
+        ("Strong winds buffet the coast.", "B AH1 F AH0 T"),
     ],
 )
 def test_context_disambiguation(g2p, text, expect):
