@@ -19,9 +19,16 @@ existing engines:
   buckets), not O(#requests).
 
 Single-process, stdlib-only (``ThreadingHTTPServer``): connection handling
-is threaded, device work serializes through one lock — the engines batch
-internally, which is where TPU throughput comes from; queuing discipline
-beyond that belongs to a fronting load balancer.
+is threaded, device work serializes through one lock.  Concurrent plain
+``/synthesize`` requests do NOT serialize one engine call each: a
+micro-batcher collects requests that arrive within a short window (and
+everything that accumulates while a previous dispatch is on the device)
+and feeds them through ``Synthesizer.synthesize_requests`` as one
+dispatch — the same cross-request bucket-batching the explicit ``/batch``
+endpoint gets, applied transparently across connections.  Requests with
+different jit-static prosody rates (pace/pitch/energy) group into separate
+engine calls per rate tuple.  SSML and streaming requests bypass the
+batcher (their engines are per-request).
 
 Speakers/emotions accept either names (from ``cfg.data``) or integer ids.
 """
@@ -33,6 +40,7 @@ import io
 import json
 import struct
 import threading
+import time
 import wave
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -60,15 +68,94 @@ class TTSRequestError(ValueError):
     pass
 
 
+class _MicroBatcher:
+    """Cross-request micro-batching for plain synthesis requests.
+
+    One daemon worker drains a shared queue: it waits for the first
+    request, sleeps a short collection window so concurrent arrivals can
+    join, then snapshots the queue and runs ONE
+    ``Synthesizer.synthesize_requests`` dispatch per distinct prosody-rate
+    tuple.  While that dispatch is on the device, new arrivals keep
+    accumulating and form the next batch — so under load, batch size
+    adapts to however many requests one device round-trip takes to serve.
+    Submitting threads block on a per-request event; engine errors
+    propagate to every request of the failing group only.
+    """
+
+    def __init__(self, service, window_s: float = 0.005,
+                 max_batch: int = 64):
+        self.service = service
+        self.window_s = float(window_s)
+        self.max_batch = int(max_batch)
+        self._cv = threading.Condition()
+        self._queue: list = []
+        self._worker = threading.Thread(
+            target=self._run, name="tts-microbatch", daemon=True
+        )
+        self._worker.start()
+
+    def submit(self, parsed: dict) -> np.ndarray:
+        item = {"req": parsed, "done": threading.Event(),
+                "result": None, "error": None}
+        with self._cv:
+            self._queue.append(item)
+            self._cv.notify()
+        item["done"].wait()
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"]
+
+    def _run(self) -> None:
+        while True:
+            with self._cv:
+                while not self._queue:
+                    self._cv.wait()
+            if self.window_s > 0:
+                time.sleep(self.window_s)  # let concurrent arrivals join
+            with self._cv:
+                batch = self._queue[: self.max_batch]
+                del self._queue[: self.max_batch]
+            self._dispatch(batch)
+
+    def _dispatch(self, batch: list) -> None:
+        # prosody rates are jit-static and shared per engine call — group
+        # by the rate tuple so mixed-rate batches stay correct
+        groups: dict = {}
+        for item in batch:
+            r = item["req"]
+            key = (r["pace"], r["pitch_rate"], r["energy_rate"])
+            groups.setdefault(key, []).append(item)
+        for (pace, pr, er), items in groups.items():
+            try:
+                with self.service.lock:
+                    wavs = self.service.synth.synthesize_requests(
+                        [it["req"] for it in items],
+                        pace=pace, pitch_rate=pr, energy_rate=er,
+                    )
+                for it, wav in zip(items, wavs):
+                    it["result"] = wav
+            except Exception as e:  # noqa: BLE001 — propagate to callers
+                for it in items:
+                    it["error"] = e
+            finally:
+                for it in items:
+                    it["done"].set()
+
+
 class TTSService:
     """Name resolution + request validation + serialized engine access."""
 
-    def __init__(self, cfg, synth):
+    def __init__(self, cfg, synth, microbatch_window_ms: float = 5.0):
         self.cfg = cfg
         self.synth = synth
         self.lock = threading.Lock()  # device work serializes here
         self.speakers = list(cfg.data.speakers)
         self.emotions = list(cfg.data.emotions)
+        # window < 0 disables cross-request batching (direct engine calls)
+        self.batcher = (
+            _MicroBatcher(self, window_s=microbatch_window_ms / 1000.0)
+            if microbatch_window_ms >= 0 else None
+        )
 
     def _resolve(self, value, table, what: str) -> int:
         from emotts.infer.synthesize import resolve_name
@@ -156,6 +243,10 @@ class TTSService:
                     )
             except SSMLError as e:
                 raise TTSRequestError(str(e))
+        if self.batcher is not None:
+            # cross-request micro-batching: concurrent requests coalesce
+            # into one synthesize_requests dispatch
+            return self.batcher.submit(r)
         with self.lock:
             return self.synth.synthesize_text(
                 r["text"], r["speaker"], r["emotion"], level=r["level"],
@@ -301,10 +392,15 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(cfg, synth, host: str = "127.0.0.1", port: int = 8080,
-                verbose: bool = False) -> ThreadingHTTPServer:
+                verbose: bool = False,
+                microbatch_window_ms: float = 5.0) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; caller runs ``serve_forever()``.
-    Port 0 picks a free port (``server.server_address[1]``)."""
+    Port 0 picks a free port (``server.server_address[1]``).
+    ``microbatch_window_ms`` is the cross-request collection window for
+    concurrent ``/synthesize`` requests (negative disables batching)."""
     httpd = ThreadingHTTPServer((host, port), _Handler)
-    httpd.service = TTSService(cfg, synth)
+    httpd.service = TTSService(
+        cfg, synth, microbatch_window_ms=microbatch_window_ms
+    )
     httpd.verbose = verbose
     return httpd
