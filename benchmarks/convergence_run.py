@@ -4,14 +4,19 @@ Demonstrates that sustained FULL-SIZE training improves the framework's own
 objective metrics (the reference's only "eval" is listening to the released
 samples, readme.md:102-125; this repo has an Evaluator, so we use it):
 
-  1. synthetic corpus (3 speakers x 5 emotions) -> preprocess/splits
-  2. full-size rank model: >=1k steps
+  1. synthetic corpus (4 speakers x 5 emotions, held-out n>=150) ->
+     preprocess/splits
+  2. full-size rank model: >=1k steps (validation-loss series recorded)
   3. bucketize -> intensity.npy
   4. full-size FS2: trained in stages; after EVERY stage the Evaluator runs
      on the held-out split -> eval_stage{k}.json (MCD, DTW-MCD, duration
-     MAE/acc series)
+     MAE/acc series, each with bootstrap 95% CIs) AND the intensity-control
+     efficacy eval (emotts/eval/intensity_eval.py) scores the synthesized
+     (speaker x emotion x level) sweep with the frozen rank model ->
+     monotonicity + emotion-silhouette series (the TITLE capability)
   5. full-size vocoder GAN (ground-truth condition): staged, mel-L1 series
-  6. final evaluate WITH the self-trained vocoder (adds F0 metrics)
+  6. final evaluate WITH the self-trained vocoder (adds F0 metrics) + the
+     intensity eval through real vocoded audio
 
 Outputs land under --root; the per-stage eval series is also printed as a
 summary table and written to <root>/convergence_summary.json for
@@ -38,8 +43,15 @@ import numpy as np  # noqa: E402
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/emotts_conv")
-    ap.add_argument("--speakers", type=int, default=3)
-    ap.add_argument("--utts-per-emotion", type=int, default=12)
+    # 4 speakers x 5 emotions x 40 = 800 utterances -> 160 held out (the
+    # round-2 campaign's n=36 left stage deltas inside eval noise)
+    ap.add_argument("--speakers", type=int, default=4)
+    ap.add_argument("--utts-per-emotion", type=int, default=40)
+    ap.add_argument("--intensity-texts", default=(
+        "The wind was rising steadily over the hills.|"
+        "She answered the question without any hesitation.|"
+        "Nobody expected the results to arrive so early."
+    ), help="pipe-separated sentences for the intensity-efficacy sweep")
     ap.add_argument("--rank-steps", type=int, default=1000)
     # the reference's rank lr (1e-6, rank_model/parameter.yaml:45) is tuned
     # for its ~multi-100k-step EmoV-DB schedule; at a 1k-step budget the
@@ -50,6 +62,9 @@ def main() -> int:
     ap.add_argument("--fs2-stages", default="700,700,700")
     ap.add_argument("--voc-stages", default="1000,1000")
     ap.add_argument("--eval-f0-utts", type=int, default=16)
+    ap.add_argument("--tiny", action="store_true",
+                    help="shrink every model to smoke-test the campaign "
+                    "plumbing on CPU (numbers are meaningless)")
     args = ap.parse_args()
 
     from synthetic_corpus import make_corpus
@@ -89,6 +104,30 @@ def main() -> int:
     print(f"[conv] corpus ready ({walls['corpus+preprocess']:.0f}s)",
           flush=True)
 
+    if args.tiny:
+        cfg.rank_model.n_encoder_layers = 1
+        cfg.rank_model.hidden_dim = 32
+        cfg.rank_model.ffn_mult = 2
+        f = cfg.fastspeech2
+        f.enc_num_layers = f.dec_num_layers = 1
+        f.enc_d_model = f.dec_d_model = 32
+        f.enc_ffn_dim = f.dec_ffn_dim = 64
+        f.postnet_embedding_dim = 32
+        f.postnet_n_convolutions = 3
+        f.max_mel_len = 128
+        cfg.mesh.data_parallel = 1  # smoke-test hosts force 8 CPU devices
+        v = cfg.train_vocoder
+        v.batch_size = 2
+        v.segment_frames = 8
+        v.upsample_initial_channel = 16
+        v.resblock_kernel_sizes = [3]
+        v.resblock_dilations = [[1, 3]]
+        v.disc_channel_mult = 0.05
+        v.mpd_periods = [2]
+        v.msd_scales = 1
+        v.compute_dtype = "float32"
+        cfg.train_rank.compute_dtype = cfg.train_fs2.compute_dtype = "float32"
+
     # full-size models are the config defaults; disable early stopping so
     # step budgets are exact, keep the reference batch size
     cfg.train_rank.max_iterations = args.rank_steps
@@ -112,6 +151,15 @@ def main() -> int:
     walls[f"rank_{args.rank_steps}steps"] = time.time() - t0
     print(f"[conv] rank done: {rank_exp} ({walls[list(walls)[-1]]:.0f}s)",
           flush=True)
+    # the rank model's own convergence evidence: validation-loss series
+    rank_metrics = (Path(rank_exp) / "metrics.jsonl").read_text().splitlines()
+    rank_metrics = [json.loads(ln) for ln in rank_metrics]
+    summary["rank_valid_loss"] = [
+        {"step": r.get("step"), "value": round(r["value"], 5)}
+        for r in rank_metrics if r.get("tag") == "valid/loss"
+    ]
+    print(f"[conv] rank valid-loss series: "
+          f"{[r['value'] for r in summary['rank_valid_loss']]}", flush=True)
 
     rank_template = init_rank_params(cfg, build_rank_model(cfg), 0)
     rank_params = load_best_params(rank_exp, {"params": rank_template["params"]})
@@ -123,6 +171,23 @@ def main() -> int:
     walls["bucketize"] = time.time() - t0
 
     # ---- FS2 in stages, evaluating after each -------------------------
+    from emotts.eval.intensity_eval import evaluate_intensity_efficacy
+
+    intensity_texts = [t for t in args.intensity_texts.split("|") if t.strip()]
+    _INT_KEYS = ("monotonic_fraction_strict", "pairwise_order_accuracy",
+                 "monotonic_fraction_cell_mean", "emotion_silhouette_h")
+
+    def intensity_eval(fs2_exp, tag):
+        t0 = time.time()
+        rep = evaluate_intensity_efficacy(
+            cfg, fs2_exp=fs2_exp, rank_exp=rank_exp, texts=intensity_texts,
+            out_path=str(root / f"intensity_{tag}.json"),
+        )
+        walls[f"intensity_{tag}"] = time.time() - t0
+        row = {k: rep.get(k) for k in _INT_KEYS}
+        row["feature_path"] = rep["feature_path"]
+        return row
+
     fs2_stages = [int(s) for s in args.fs2_stages.split(",") if s]
     fs2_trainer = FS2Trainer(cfg, ext_params)
     fs2_exp = None
@@ -151,6 +216,10 @@ def main() -> int:
             "fs2_steps_total": total_steps,
             "train_wall_s": round(wall, 1),
             **report["overall"],
+            "ci95": report["overall_ci95"],
+            # the TITLE capability, measured per stage (mel-only path —
+            # the vocoder trains later)
+            "intensity": intensity_eval(fs2_exp, f"stage{k}"),
         }
         summary["stages"].append(row)
         print(f"[conv] fs2 stage {k} ({total_steps} steps): "
@@ -201,6 +270,13 @@ def main() -> int:
     )
     walls["eval_final"] = time.time() - t0
     summary["final_with_vocoder"] = report["overall"]
+    summary["final_with_vocoder_ci95"] = report["overall_ci95"]
+    # intensity efficacy through REAL vocoded audio (mel+pitch+energy
+    # re-extracted from the synthesized waveforms)
+    cfg.inference.vocoder_checkpoint = str(Path(voc_exp) / "vocoder.npz")
+    summary["final_intensity"] = intensity_eval(fs2_exp, "final_vocoded")
+    print(f"[conv] final intensity efficacy: "
+          + json.dumps(summary["final_intensity"]), flush=True)
     summary["walls_s"] = {k: round(v, 1) for k, v in walls.items()}
     (root / "convergence_summary.json").write_text(
         json.dumps(summary, indent=2)

@@ -147,6 +147,50 @@ def msd_scale_dense(x, ws_dense):
     )
 
 
+def msd_merge_weights(ws, m):
+    """PARTIAL block-diagonal merge: m original groups fuse into one conv
+    group, so feature_group_count drops g → g/m and MACs inflate only m×
+    (full dense is the m=g special case with 16× inflation).  The point:
+    the k=41 layers' true group width is cout/g = 64 < the 128 MXU lanes —
+    merging m=2 restores 128-wide conv groups at 2× MACs, 8× fewer than
+    the shipped dense expansion."""
+    merged = []
+    cin = 1
+    for w, g0, ch in zip(ws[:-1], MSD_G, MSD_CH):
+        g = int(np.gcd(g0, np.gcd(cin, ch)))
+        mm = int(np.gcd(m, g))
+        if g == 1 or mm == 1:
+            merged.append(w)
+        else:
+            k = w.shape[0]
+            ci, co = cin // g, ch // g
+            gm = g // mm
+            blocks = np.asarray(w, np.float32).reshape(k, ci, gm, mm, co)
+            eye = np.eye(mm, dtype=np.float32)
+            dense = (blocks[:, None] *
+                     eye[None, :, None, None, :, None])
+            merged.append(jnp.asarray(
+                dense.reshape(k, mm * ci, gm * mm * co), w.dtype
+            ))
+        cin = ch
+    merged.append(ws[-1])
+    return merged
+
+
+def msd_scale_merged(x, ws_m, m):
+    for w, g0, ch, k, s in zip(ws_m[:-1], MSD_G, MSD_CH, MSD_K, MSD_S):
+        cin = x.shape[-1]
+        gm = cin // w.shape[1]  # the merged weight encodes its group count
+        x = lax.conv_general_dilated(
+            x, w, (s,), [(k // 2, k // 2)],
+            dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=gm,
+        )
+        x = leaky(x)
+    return lax.conv_general_dilated(
+        x, ws_m[-1], (1,), [(1, 1)], dimension_numbers=("NWC", "WIO", "NWC")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MPD formulations (one period)
 # ---------------------------------------------------------------------------
@@ -261,13 +305,22 @@ def main():
         ref = msd_scale_grouped(y[..., None], ws)
         check_close("batch_group", msd_scale_batchgroup(y[..., None], ws), ref, tol)
         check_close("dense", msd_scale_dense(y[..., None], wsd), ref, tol)
-        for name, fn, w in (
-            ("grouped (baseline)", msd_scale_grouped, ws),
-            ("batch_group", msd_scale_batchgroup, ws),
-            ("dense-packed", msd_scale_dense, wsd),
-        ):
-            f = timed(fn, y[..., None], w)
-            g = timed(fwd_bwd(fn), y[..., None], w)
+        variants = [
+            ("grouped (baseline)", msd_scale_grouped, (ws,)),
+            ("batch_group", msd_scale_batchgroup, (ws,)),
+            ("dense-packed", msd_scale_dense, (wsd,)),
+        ]
+        # partial merges: m groups -> one 128·m/2-lane conv group at m× MACs
+        for m in (2, 4, 8):
+            wm = msd_merge_weights(ws, m)
+            check_close(f"merge{m}", msd_scale_merged(y[..., None], wm, m),
+                        ref, tol)
+            variants.append((f"merge-{m} (fgc {16 // m})",
+                             msd_scale_merged, (wm, m)))
+        for name, fn, wargs in variants:
+            f = timed(fn, y[..., None], *wargs)
+            g = timed(fwd_bwd(lambda x, w, *a: fn(x, w, *a)),
+                      y[..., None], *wargs)
             print(f"  {name:20s} fwd {f:7.2f} ms   fwd+bwd {g:7.2f} ms")
 
         print(f"=== dtype {tag}: MPD (T={SEG}) ===")

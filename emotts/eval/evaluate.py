@@ -235,8 +235,11 @@ def pick_phone_bucket(examples, cfg: Config) -> int:
     return pb if pb > 0 else need
 
 
-def aggregate(per_utt) -> Dict:
-    """Mean of every numeric metric overall and per (speaker, emotion)."""
+def aggregate(per_utt, n_boot: int = 1000, seed: int = 0) -> Dict:
+    """Mean of every numeric metric overall and per (speaker, emotion),
+    plus a bootstrap 95% CI of each overall mean — so "within eval noise"
+    is a number, not a shrug (campaign stage-to-stage deltas are judged
+    against these intervals)."""
     def means(rows):
         keys = sorted({k for r in rows for k in r if isinstance(r[k], float)})
         return {
@@ -249,8 +252,27 @@ def aggregate(per_utt) -> Dict:
     return {
         "n_utterances": len(per_utt),
         "overall": means(per_utt) if per_utt else {},
+        "overall_ci95": bootstrap_ci(per_utt, n_boot, seed) if per_utt else {},
         "by_speaker_emotion": {k: means(v) for k, v in sorted(groups.items())},
     }
+
+
+def bootstrap_ci(per_utt, n_boot: int = 1000, seed: int = 0) -> Dict:
+    """{metric: [lo, hi]} — percentile-bootstrap 95% CI of the mean over
+    utterances, per numeric metric (metrics present on a subset of rows,
+    e.g. the F0 budget, bootstrap over that subset)."""
+    rng = np.random.default_rng(seed)
+    keys = sorted({k for r in per_utt for k in r if isinstance(r[k], float)})
+    out = {}
+    for k in keys:
+        vals = np.asarray([r[k] for r in per_utt if k in r], np.float64)
+        if len(vals) < 2:
+            continue
+        idx = rng.integers(0, len(vals), size=(n_boot, len(vals)))
+        boot_means = vals[idx].mean(axis=1)
+        lo, hi = np.percentile(boot_means, [2.5, 97.5])
+        out[k] = [float(lo), float(hi)]
+    return out
 
 
 def evaluate_f0_through_vocoder(

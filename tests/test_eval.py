@@ -98,6 +98,32 @@ def test_duration_metrics_roundtrip():
     assert mae2 > 0 and rel2 > 0.5
 
 
+def test_bootstrap_ci():
+    """95% bootstrap CI of the mean: brackets the sample mean, narrows
+    with n, and skips metrics with <2 samples."""
+    from emotts.eval.evaluate import aggregate, bootstrap_ci
+
+    rng = np.random.default_rng(0)
+    small = [{"speaker": "a", "emotion": "x", "m": float(v)}
+             for v in rng.normal(5.0, 1.0, 20)]
+    big = [{"speaker": "a", "emotion": "x", "m": float(v)}
+           for v in rng.normal(5.0, 1.0, 500)]
+    ci_small = bootstrap_ci(small)["m"]
+    ci_big = bootstrap_ci(big)["m"]
+    for rows, ci in ((small, ci_small), (big, ci_big)):
+        mean = np.mean([r["m"] for r in rows])
+        assert ci[0] < mean < ci[1]
+    assert (ci_big[1] - ci_big[0]) < (ci_small[1] - ci_small[0])
+    # deterministic given the seed
+    assert bootstrap_ci(small) == bootstrap_ci(small)
+    # single-sample metrics are omitted; report carries the CI block
+    rows = [{"speaker": "a", "emotion": "x", "m": 1.0, "rare": 2.0},
+            {"speaker": "a", "emotion": "x", "m": 3.0}]
+    report = aggregate(rows)
+    assert "m" in report["overall_ci95"]
+    assert "rare" not in report["overall_ci95"]
+
+
 def test_evaluator_end_to_end(tmp_path):
     """Train the tiny pipeline on the synthetic corpus, then evaluate:
     teacher-forced MCD finite, free-running DTW-MCD present, eval.json
