@@ -207,15 +207,30 @@ def main() -> None:
         # A/B: XLA's native grouped-conv lowering in the MSD
         cfg.train_vocoder.disc_dense_groups = False
         print(json.dumps({"variant": "grouped_msd"}))
+    if "--msd-group-merge" in sys.argv:
+        # A/B: partial block-diagonal merge (m groups -> one conv group,
+        # m× MACs; disc_dense_groups is the m=16 point) in the full GAN step
+        m = int(sys.argv[sys.argv.index("--msd-group-merge") + 1])
+        cfg.train_vocoder.msd_group_merge = m
+        print(json.dumps({"variant": f"msd_group_merge_{m}"}))
+    if "--mpd-fold" in sys.argv:
+        # A/B: selective period-axis batch folding for the larger MPD
+        # periods inside the full GAN step (disc_profile.py found p∈{5,7}
+        # win in isolation; the full-step winner sets the config default)
+        periods = [int(p) for p in
+                   sys.argv[sys.argv.index("--mpd-fold") + 1].split(",")]
+        cfg.train_vocoder.mpd_fold_periods = periods
+        print(json.dumps({"variant": f"mpd_fold_{periods}"}))
+    only_rank = "--rank-only" in sys.argv
     only_fs2 = "--fs2-only" in sys.argv
     only_vocoder = "--vocoder-only" in sys.argv
-    if not (only_fs2 or only_vocoder):
+    if only_rank or not (only_fs2 or only_vocoder):
         for batch in (8, 64):
             print(json.dumps(bench_rank(cfg, mesh, batch)))
-    if not only_vocoder:
+    if not (only_vocoder or only_rank):
         for batch in (8, 64):
             print(json.dumps(bench_fs2(cfg, mesh, batch)))
-    if not only_fs2:
+    if not (only_fs2 or only_rank):
         print(json.dumps(bench_vocoder(cfg, mesh, 16)))
 
 

@@ -22,6 +22,7 @@ loss.
 
 from __future__ import annotations
 
+import math
 from typing import List, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -53,6 +54,7 @@ class _GroupedConv1D(nn.Module):
     stride: int = 1
     groups: int = 1
     dense_packed: bool = False
+    group_merge: int = 0  # >1: merge m groups per conv group (m× MACs)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -67,17 +69,26 @@ class _GroupedConv1D(nn.Module):
                        jnp.float32)
         x = x.astype(self.dtype)
         w = w.astype(self.dtype)
-        if self.dense_packed and g > 1:
+        # effective merge factor: group_merge > 1 is a PARTIAL block-
+        # diagonal expansion (m original groups fuse into one conv group,
+        # m× the MACs); dense_packed is the m = g special case
+        m = math.gcd(max(1, self.group_merge), g)
+        if self.dense_packed and self.group_merge <= 1:
+            m = g
+        if g > 1 and m > 1:
             # block-diagonal expansion as ONE broadcast-multiply against
-            # eye(g): a scatter (.at[].set) lowers to a while-loop
+            # eye(m): a scatter (.at[].set) lowers to a while-loop
             # dynamic-update-slice with ~6 ms/step of layout copies around
             # it (tools/profile_step.py --step vocoder); the mask-multiply
             # fuses, and its transpose is a masked reduce
             cin_g, cout_g = cin // g, self.features // g
-            blocks = w.reshape(k, cin_g, g, cout_g)
-            eye = jnp.eye(g, dtype=w.dtype)
-            dense = blocks[:, None, :, :, :] * eye[None, :, None, :, None]
-            w, g = dense.reshape(k, cin, self.features), 1
+            gm = g // m
+            blocks = w.reshape(k, cin_g, gm, m, cout_g)
+            eye = jnp.eye(m, dtype=w.dtype)
+            dense = (blocks[:, None] *
+                     eye[None, :, None, None, :, None])
+            w = dense.reshape(k, m * cin_g, self.features)
+            g = gm
         y = lax.conv_general_dilated(
             x, w, (self.stride,), [(k // 2, k // 2)],
             dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=g,
@@ -142,12 +153,11 @@ class ScaleDiscriminator(nn.Module):
     kernels: Sequence[int] = (15, 41, 41, 41, 41, 41, 5)
     strides: Sequence[int] = (1, 2, 2, 4, 4, 1, 1)
     dense_groups: bool = False
+    group_merge: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, y: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
-        import math
-
         b = y.shape[0]
         x = y[..., None].astype(self.dtype)  # (B, T, 1)
         feats = []
@@ -158,6 +168,7 @@ class ScaleDiscriminator(nn.Module):
             g = math.gcd(g, math.gcd(int(x.shape[-1]), ch))
             x = _GroupedConv1D(ch, k, stride=s, groups=g,
                                dense_packed=self.dense_groups,
+                               group_merge=self.group_merge,
                                dtype=self.dtype, name=f"Conv_{i}")(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             feats.append(x)
@@ -195,6 +206,9 @@ class MultiScaleDiscriminator(nn.Module):
     n_scales: int = 3
     channel_mult: float = 1.0
     dense_groups: bool = False
+    # >1: partial block-diagonal merge — m original groups per conv group
+    # (m× MACs, 128·m/2-lane groups); dense_groups is the m=16 special case
+    group_merge: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -211,6 +225,7 @@ class MultiScaleDiscriminator(nn.Module):
                 )[..., 0]
             o, f = ScaleDiscriminator(
                 channels=chans, dense_groups=self.dense_groups,
+                group_merge=self.group_merge,
                 dtype=self.dtype, name=f"scale_{i}"
             )(x)
             outs.append(o)

@@ -206,7 +206,8 @@ class VocoderTrainer:
         )
         self.msd = MultiScaleDiscriminator(
             vc.msd_scales, vc.disc_channel_mult,
-            dense_groups=vc.disc_dense_groups, dtype=dtype
+            dense_groups=vc.disc_dense_groups and vc.msd_group_merge <= 1,
+            group_merge=vc.msd_group_merge, dtype=dtype
         )
 
         key = jax.random.PRNGKey(vc.seed)
@@ -281,8 +282,14 @@ class VocoderTrainer:
                 # against the UPDATED discriminator, and pull back through
                 # the saved vjp.  Structurally guarantees the dedup instead
                 # of relying on XLA CSE across the two value_and_grad traces.
+                # gen_remat: the vjp's residuals otherwise stay live across
+                # the whole D forward/backward/update before the pullback
+                # runs; jax.checkpoint drops them and recomputes the G
+                # forward inside the pullback — identical math, second
+                # forward's FLOPs traded back for peak HBM
+                fwd = (jax.checkpoint(gen_fwd) if vc.gen_remat else gen_fwd)
                 y_hat, gen_vjp = jax.vjp(
-                    lambda gp: gen_fwd(gp, mel_in), gen_state.params
+                    lambda gp: fwd(gp, mel_in), gen_state.params
                 )
                 y_hat_det = jax.lax.stop_gradient(y_hat)
 

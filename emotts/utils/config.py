@@ -234,6 +234,12 @@ class VocoderTrainConfig:
     # MACs but solid MXU tiles; measured faster at full size on TPU
     # (benchmarks/disc_profile.py).  Param layout is unchanged either way.
     disc_dense_groups: bool = True
+    # >1: PARTIAL block-diagonal merge of the MSD's grouped convs — m
+    # original groups fuse into one 128·m/2-lane conv group at m× the MACs
+    # (dense_groups is the m=16 special case).  Takes precedence over
+    # disc_dense_groups when set (benchmarks/disc_profile.py probes the
+    # m ∈ {2,4,8} points).
+    msd_group_merge: int = 0
     mpd_periods: List[int] = field(default_factory=lambda: [2, 3, 5, 7, 11])
     # periods to run with the period axis folded into batch (identical math
     # and params; faster on TPU for the larger periods — disc_profile.py)
@@ -246,6 +252,13 @@ class VocoderTrainConfig:
     # rank + FS2 experiments (inference.rank_exp / inference.fs2_exp).
     condition: str = "gt"
     fs2_split: str = "train"  # which split provides the fine-tuning mels
+    # rematerialize the generator forward inside its vjp pullback: the
+    # residuals otherwise stay live across the whole discriminator
+    # forward/backward/update (the single-forward formulation), raising
+    # peak HBM; remat recomputes the forward instead — identical math,
+    # ~one extra G forward of FLOPs per step.  Enable if a large config
+    # OOMs where the two-forward formulation used to fit.
+    gen_remat: bool = False
 
 
 @dataclass

@@ -104,6 +104,46 @@ def test_msd_dense_groups_parity():
                                        rtol=2e-5, atol=2e-5)
 
 
+def test_msd_group_merge_parity():
+    """group_merge=m fuses m original groups into one conv group via a
+    partial block-diagonal expansion: identical param tree and identical
+    outputs/gradients to the plain grouped conv, for every m that divides
+    the group count (dense_groups is the m=g special case)."""
+    y = jnp.asarray(
+        np.random.default_rng(5).standard_normal((2, 1024)).astype(np.float32)
+    )
+    grouped = MultiScaleDiscriminator(n_scales=2, channel_mult=0.25)
+    pg = grouped.init(jax.random.PRNGKey(11), y)
+    og, fg = grouped.apply(pg, y)
+
+    def loss(params, model):
+        outs, feats = model.apply(params, y)
+        return sum(jnp.sum(jnp.square(o)) for o in outs) + sum(
+            jnp.sum(jnp.abs(f)) for fl in feats for f in fl)
+
+    gg = jax.grad(loss)(pg, grouped)
+    for m in (2, 4, 8):
+        merged = MultiScaleDiscriminator(n_scales=2, channel_mult=0.25,
+                                         group_merge=m)
+        pm = merged.init(jax.random.PRNGKey(11), y)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)), pg, pm)
+        om, fm = merged.apply(pg, y)
+        for a, b in zip(og, om):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5)
+        for la, lb in zip(fg, fm):
+            for a, b in zip(la, lb):
+                assert a.shape == b.shape
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-5, atol=2e-5)
+        gm = jax.grad(loss)(pg, merged)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4), gg, gm)
+
+
 def test_mpd_fold_periods_parity():
     """fold_1d runs the identical conv stack with the period axis folded
     into batch: same param tree, same logits/feature maps (incl. gradients
@@ -263,6 +303,31 @@ def test_single_forward_vjp_grads_match_double_forward(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(dp1),
                     jax.tree_util.tree_leaves(dp1_actual)):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+
+
+def test_gen_remat_step_parity(tmp_path):
+    """gen_remat=True recomputes the generator forward inside the vjp
+    pullback (trading FLOPs for peak HBM); the step's updated params must
+    match the non-remat step on the same batch."""
+    cfg = tiny_cfg(tmp_path, adversarial=1.0)
+    write_corpus(cfg)
+    tr0 = VocoderTrainer(cfg)
+    cfg_r = tiny_cfg(tmp_path, adversarial=1.0)
+    cfg_r.train_vocoder.gen_remat = True
+    tr1 = VocoderTrainer(cfg_r)
+    rng = np.random.default_rng(17)
+    y = jnp.asarray(
+        rng.standard_normal((2, tr0.segment_samples)).astype(np.float32) * 0.1
+    )
+    batch = {"y": y}
+    g0, d0, _ = tr0._train_step(tr0.gen_state, tr0.disc_state, batch)
+    g1, d1, _ = tr1._train_step(tr1.gen_state, tr1.disc_state, batch)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(g0.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(g1.params))):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(d0.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(d1.params))):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-7)
 
 
 def test_mel_only_convergence_and_export(tmp_path):
