@@ -237,6 +237,9 @@ class G2P:
         if lexicon_path:
             self.load_lexicon(lexicon_path, override=True)
         self.neural = None
+        # memoizes neural-tier decodes only: an autoregressive numpy decode
+        # is ~16 ms/word (d256) — paid once per novel OOV, not per mention
+        self._neural_memo: Dict[str, List[str]] = {}
         if neural:
             from emotts.text.neural_g2p import BUNDLED_WEIGHTS, NeuralG2P
 
@@ -419,8 +422,12 @@ class G2P:
         if morph:
             return morph
         if self.neural is not None:
+            hit = self._neural_memo.get(word)
+            if hit is not None:
+                return list(hit)
             hyp = self.neural.word_to_phonemes(word)
             if hyp:
+                self._neural_memo[word] = list(hyp)
                 return hyp
         return letter_to_sound(word)
 

@@ -22,13 +22,18 @@ def model():
 
 
 def test_weights_packaged_and_versioned(model):
-    # architecture constants must match the packaged weights
-    assert model.params["char_emb"].shape == (ng.N_CHAR_TOKENS, ng.D_MODEL)
-    assert model.params["out_proj"].shape == (ng.D_MODEL, ng.N_PHON_TOKENS)
+    # vocab dims must match the packaged weights; width/depth derive from
+    # the artifact itself (shipped primary: d256/ff1024/3+3/h8)
+    arch = ng.arch_of(model.params, model.n_heads)
+    assert model.params["char_emb"].shape == (ng.N_CHAR_TOKENS,
+                                              arch["d_model"])
+    assert model.params["out_proj"].shape == (arch["d_model"],
+                                              ng.N_PHON_TOKENS)
     # training metrics recorded in the artifact pass the quality bar
+    # (band-11 split, n=4000: 0.761 exact / 0.051 PER)
     data = np.load(ng.BUNDLED_WEIGHTS)
-    assert float(data["__eval_exact__"][0]) >= 0.5
-    assert float(data["__eval_per__"][0]) <= 0.15
+    assert float(data["__eval_exact__"][0]) >= 0.73
+    assert float(data["__eval_per__"][0]) <= 0.06
 
 
 def test_decode_outputs_valid_vocab(model):
@@ -54,24 +59,26 @@ def test_numpy_jax_forward_parity(model):
     """The jax training forward and the numpy inference forward are the same
     function of the same weight dict."""
     p = model.params
+    heads = model.n_heads
+    arch = ng.arch_of(p, heads)
     words = ["parity", "checking", "zyzzyva"]
     for w in words:
         cid = ng.encode_word(w)
         t = int((cid != ng.CHAR_PAD).sum())
         # numpy teacher-forced pass over the model's own greedy output
-        out_ids = ng.np_greedy_decode(p, cid)
+        out_ids = ng.np_greedy_decode(p, cid, heads)
         prev = np.array([ng.PHON_BOS] + out_ids, dtype=np.int32)
         logits_jax = np.asarray(
-            ng.jax_forward(p, cid[None, :t], prev[None])[0]
+            ng.jax_forward(p, cid[None, :t], prev[None], n_heads=heads)[0]
         )
         # numpy mirror: rerun the decoder stack over the full prefix
-        enc = ng._np_encode(p, cid)
+        enc = ng._np_encode(p, cid, heads)
         tp = len(prev)
         x = p["phon_emb"][prev] + p["phon_pos"][:tp]
         causal = np.triu(np.full((tp, tp), -1e9, dtype=np.float32), k=1)
         enc_mask = np.zeros((tp, enc.shape[0]), dtype=np.float32)
-        for i in range(ng.N_DEC):
-            x = ng._dec_layer(x, enc, p, f"dec{i}_", causal, enc_mask)
+        for i in range(arch["n_dec"]):
+            x = ng._dec_layer(x, enc, p, f"dec{i}_", causal, enc_mask, heads)
         x = ng._ln(x, p["dec_ln_g"], p["dec_ln_b"])
         logits_np = x @ p["out_proj"]
         np.testing.assert_allclose(logits_np, logits_jax, rtol=2e-4, atol=2e-4)
@@ -94,12 +101,12 @@ def test_heldout_quality_beats_rule_lts(model):
         per_num += _edit(hyp, ref)
         per_den += len(ref)
         lts_per_num += _edit(letter_to_sound(w), ref)
-    # floors pinned within ~5 pts of the shipped weights' measured quality
-    # (held-out 66.7% exact / 0.078 PER, tools/train_g2p.py) so the
-    # component cannot silently degrade
-    assert n_exact / len(sample) >= 0.60, n_exact / len(sample)
-    assert per_num / per_den <= 0.11, per_num / per_den
-    assert per_num < lts_per_num * 0.45  # >=55% PER reduction vs rules
+    # floors pinned within ~3 pts of the shipped weights' measured quality
+    # on THIS fixed sample (d256 primary: 0.740 exact / 0.063 PER,
+    # lts ratio 0.185) so the component cannot silently degrade
+    assert n_exact / len(sample) >= 0.71, n_exact / len(sample)
+    assert per_num / per_den <= 0.075, per_num / per_den
+    assert per_num < lts_per_num * 0.30  # >=70% PER reduction vs rules
 
 
 def test_beam_decode_wellformed(model):
@@ -107,14 +114,18 @@ def test_beam_decode_wellformed(model):
     least match greedy's sequence score on the model's own distribution.
     (Measured: beam4 == greedy in quality on held-out — the model is
     confident — so greedy stays the default; see tools/train_g2p.py.)"""
+    heads = model.n_heads
     for word in ["blorptastic", "zyzzyva", "crystalline"]:
         cid = ng.encode_word(word)
-        hyp_beam = ng.decode_phoneme_ids(ng.np_beam_decode(model.params, cid, 4))
-        hyp_greedy = ng.decode_phoneme_ids(ng.np_greedy_decode(model.params, cid))
+        hyp_beam = ng.decode_phoneme_ids(
+            ng.np_beam_decode(model.params, cid, 4, heads))
+        hyp_greedy = ng.decode_phoneme_ids(
+            ng.np_greedy_decode(model.params, cid, heads))
         assert hyp_beam, word
         assert all(p in VALID_TOKENS for p in hyp_beam)
         # beam with width 1 degenerates to greedy exactly
-        hyp_b1 = ng.decode_phoneme_ids(ng.np_beam_decode(model.params, cid, 1))
+        hyp_b1 = ng.decode_phoneme_ids(
+            ng.np_beam_decode(model.params, cid, 1, heads))
         assert hyp_b1 == hyp_greedy
 
 
