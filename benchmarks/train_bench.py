@@ -198,6 +198,10 @@ def main() -> None:
 
     mesh = make_mesh(devices=jax.devices()[:1])
     cfg = Config()
+    # pin the A/B baseline: the config default is auto (TPU && batch>=32
+    # enables the Pallas kernel), which would contaminate the XLA side
+    cfg.rank_model.fused_attention = False
+    cfg.fastspeech2.fused_attention = False
     if "--fused-attention" in sys.argv:
         # head-to-head vs the XLA attention: same models, Pallas kernel on
         cfg.rank_model.fused_attention = True

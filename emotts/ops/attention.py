@@ -270,3 +270,25 @@ def _fused_bwd(rate, interpret, residuals, g):
 
 
 fused_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
+def resolve_fused_attention(flag, batch_size=None) -> bool:
+    """Resolve a config fused-attention flag (True/False/None=auto).
+
+    Auto enables the Pallas kernel only where it was MEASURED to win on the
+    chip (BENCH_NOTES.md "Fused Pallas attention"): TPU backend AND training
+    batch >= 32 (full-size FS2 step 116.8 -> 107.3 ms at B=64, 1.09x; rank
+    step 207.5 -> 187.1 ms at B=64, 1.11x; both neutral at B=8).  Everywhere
+    unmeasured (CPU, small batch, inference builders that don't pass a
+    batch) auto resolves to the XLA attention path.
+    """
+    if flag is not None:
+        return bool(flag)
+    if not batch_size or batch_size < 32:
+        return False
+    try:
+        import jax
+
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # uninitialised backend: stay on the portable path
+        return False

@@ -40,16 +40,28 @@ from emotts.utils.experiment import increment_path, set_seed
 from emotts.utils.plotting import plot_mel_grid
 
 
-def build_fastspeech2(cfg: Config, dtype=None) -> FastSpeech2:
+def build_fastspeech2(cfg: Config, dtype=None, batch_size=None) -> FastSpeech2:
+    import dataclasses
+
+    from emotts.ops.attention import resolve_fused_attention
+
     # the intensity conditioning vector is the extractor's per-emotion logit,
     # so its width is always n_emotions (cfg default 5 matches EmoV-DB)
     cfg.fastspeech2.intensity_dim = cfg.n_emotions
     if dtype is None:
         dtype = jnp.dtype(cfg.train_fs2.compute_dtype)
-    return FastSpeech2(cfg.fastspeech2, n_speakers=cfg.n_speakers, dtype=dtype)
+    fs2_cfg = dataclasses.replace(
+        cfg.fastspeech2,
+        fused_attention=resolve_fused_attention(
+            cfg.fastspeech2.fused_attention, batch_size),
+    )
+    return FastSpeech2(fs2_cfg, n_speakers=cfg.n_speakers, dtype=dtype)
 
 
-def build_intensity_extractor(cfg: Config, dtype=None) -> IntensityExtractor:
+def build_intensity_extractor(cfg: Config, dtype=None,
+                              batch_size=None) -> IntensityExtractor:
+    from emotts.ops.attention import resolve_fused_attention
+
     rm = cfg.rank_model
     if dtype is None:
         # the extractor is FROZEN during FS2 training (inference-only under
@@ -67,7 +79,8 @@ def build_intensity_extractor(cfg: Config, dtype=None) -> IntensityExtractor:
         ffn_mult=rm.ffn_mult,
         dropout=rm.dropout,
         remat=rm.remat,
-        fused_attention=rm.fused_attention,
+        fused_attention=resolve_fused_attention(rm.fused_attention,
+                                                batch_size),
         dtype=dtype,
     )
 
@@ -116,8 +129,10 @@ class FS2Trainer:
             self._voc_fn = jax.jit(vocoder.apply)
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
-        self.model = build_fastspeech2(cfg)
-        self.extractor = build_intensity_extractor(cfg)
+        self.model = build_fastspeech2(cfg,
+                                       batch_size=cfg.train_fs2.batch_size)
+        self.extractor = build_intensity_extractor(
+            cfg, batch_size=cfg.train_fs2.batch_size)
         self.extractor_params = replicate(self.mesh, extractor_params)
         self.tx = make_optimizer(cfg.train_fs2)
 

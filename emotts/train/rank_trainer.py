@@ -36,7 +36,9 @@ from emotts.utils.experiment import increment_path, set_seed
 from emotts.utils.plotting import DEFAULT_COLORS, DEFAULT_MARKERS, plot_tsne
 
 
-def build_rank_model(cfg: Config, dtype=None) -> RankModel:
+def build_rank_model(cfg: Config, dtype=None, batch_size=None) -> RankModel:
+    from emotts.ops.attention import resolve_fused_attention
+
     rm = cfg.rank_model
     if dtype is None:
         dtype = jnp.dtype(cfg.train_rank.compute_dtype)
@@ -50,7 +52,8 @@ def build_rank_model(cfg: Config, dtype=None) -> RankModel:
         ffn_mult=rm.ffn_mult,
         dropout=rm.dropout,
         remat=rm.remat,
-        fused_attention=rm.fused_attention,
+        fused_attention=resolve_fused_attention(rm.fused_attention,
+                                                batch_size),
         dtype=dtype,
     )
 
@@ -68,7 +71,8 @@ class RankTrainer:
     def __init__(self, cfg: Config, mesh=None):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
-        self.model = build_rank_model(cfg)
+        self.model = build_rank_model(cfg,
+                                      batch_size=cfg.train_rank.batch_size)
         self.tx = make_optimizer(cfg.train_rank)
         params = init_rank_params(cfg, self.model, cfg.train_rank.seed)
         # heavy weights shard over the model axis (no-op layout at model=1);

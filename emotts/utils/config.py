@@ -89,7 +89,10 @@ class RankModelConfig:
     ffn_mult: int = 4  # conv-FFN expansion (hidden_dim * 4 = 1536)
     dropout: float = 0.1
     remat: bool = False  # rematerialize FFT blocks (memory↔FLOPs trade)
-    fused_attention: bool = False  # Pallas fused attention (TPU; ops/attention.py)
+    # Pallas fused attention (ops/attention.py). None = auto: on for TPU
+    # training batches >= 32, where it measured 1.11x (rank B=64) /
+    # neutral B=8 — BENCH_NOTES.md; True/False force either path.
+    fused_attention: Optional[bool] = None
     alpha: float = 0.1  # mixup-CE loss weight
     beta: float = 1.0  # ranking loss weight
 
@@ -110,7 +113,10 @@ class FastSpeech2Config:
     dec_dropout: float = 0.1
     normalize_before: bool = False
     remat: bool = False  # rematerialize FFT blocks (memory↔FLOPs trade)
-    fused_attention: bool = False  # Pallas fused attention (TPU; ops/attention.py)
+    # Pallas fused attention (ops/attention.py). None = auto: on for TPU
+    # training batches >= 32, where it measured 1.09x (FS2 B=64) /
+    # neutral B=8 — BENCH_NOTES.md; True/False force either path.
+    fused_attention: Optional[bool] = None
     ffn_kernel_sizes: List[int] = field(default_factory=lambda: [9, 1])
     n_char: int = 95
     n_mels: int = 80
