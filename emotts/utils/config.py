@@ -243,13 +243,22 @@ class VocoderTrainConfig:
     # >1: PARTIAL block-diagonal merge of the MSD's grouped convs — m
     # original groups fuse into one 128·m/2-lane conv group at m× the MACs
     # (dense_groups is the m=16 special case).  Takes precedence over
-    # disc_dense_groups when set (benchmarks/disc_profile.py probes the
-    # m ∈ {2,4,8} points).
-    msd_group_merge: int = 0
+    # disc_dense_groups when set.  Default 4 = the measured full-GAN-step
+    # winner on the chip (103.3 -> 75.5 ms/step at B=16; m=8 gave 79.4 —
+    # BENCH_NOTES.md round-3 A/B).  Identical math/params at every m
+    # (tests/test_vocoder_train.py::test_msd_group_merge_parity); gcd
+    # degrades it gracefully for tiny test group counts.
+    msd_group_merge: int = 4
     mpd_periods: List[int] = field(default_factory=lambda: [2, 3, 5, 7, 11])
     # periods to run with the period axis folded into batch (identical math
-    # and params; faster on TPU for the larger periods — disc_profile.py)
-    mpd_fold_periods: List[int] = field(default_factory=list)
+    # and params; faster on TPU for the larger periods).  Default [5,7,11]
+    # = the measured winner inside the full GAN step on top of
+    # msd_group_merge=4 (74.4 vs 75.5 ms/step; folding alone without the
+    # merge is neutral, 102.6 vs 103.3 — BENCH_NOTES.md round-3 A/B).
+    # Periods not in mpd_periods are ignored, so tiny test configs with
+    # mpd_periods=[2] are unaffected.
+    mpd_fold_periods: List[int] = field(
+        default_factory=lambda: [5, 7, 11])
     msd_scales: int = 3
     # conditioning source: "gt" trains on ground-truth mels (from scratch);
     # "fs2" fine-tunes on teacher-forced FastSpeech2 PREDICTED mels aligned
