@@ -136,10 +136,10 @@ def main() -> int:
     cfg.train_rank.patience = 10 ** 6
     cfg.train_fs2.n_epochs = 10 ** 6
     cfg.train_fs2.patience = 10 ** 6
-    # this corpus yields ~1 rank step per epoch: without a cadence the
-    # per-epoch host work (t-SNE, Orbax save, validation decode) swamps the
-    # jitted step loop ~200x on a 1-core host
-    cfg.train_rank.validate_every_epochs = 25
+    # 800-utt corpus -> ~150 rank steps/epoch -> ~7 epochs in a 1k-step
+    # budget; validate every epoch so the campaign records a proper
+    # validation-loss SERIES (t-SNE artifacts stay on the sparse cadence)
+    cfg.train_rank.validate_every_epochs = 1
     cfg.train_rank.artifact_every_epochs = 200
     cfg.train_fs2.validate_every_epochs = 5
     cfg.train_fs2.artifact_every_epochs = 20
