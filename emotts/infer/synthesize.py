@@ -98,7 +98,9 @@ class Synthesizer:
         self.vocoder_params = vocoder_params
         self.intensity_bank = intensity_bank
         self.g2p = g2p or G2P(
-            cfg.inference.lexicon_path or None, neural=cfg.inference.neural_g2p
+            cfg.inference.lexicon_path or None,
+            neural=cfg.inference.neural_g2p,
+            neural_beam=cfg.inference.neural_g2p_beam,
         )
         self._mel_fn = jax.jit(
             self._mel_forward,

@@ -230,6 +230,7 @@ class G2P:
         lexicon_path: Optional[str] = None,
         bundled: bool = True,
         neural: bool = True,
+        neural_beam: int = 1,
     ):
         self.lexicon: Dict[str, List[str]] = {}
         if bundled:
@@ -244,7 +245,7 @@ class G2P:
             from emotts.text.neural_g2p import BUNDLED_WEIGHTS, NeuralG2P
 
             if NeuralG2P.available(BUNDLED_WEIGHTS):
-                self.neural = NeuralG2P(BUNDLED_WEIGHTS)
+                self.neural = NeuralG2P(BUNDLED_WEIGHTS, beam=neural_beam)
 
     def load_lexicon(self, path: str, override: bool = False) -> None:
         """Load a CMUdict-format lexicon: ``WORD  PH1 PH2 ...`` per line.

@@ -503,7 +503,8 @@ class NeuralG2P:
     member files next to ``g2p_weights.npz``.
     """
 
-    def __init__(self, weights_path=BUNDLED_WEIGHTS):
+    def __init__(self, weights_path=BUNDLED_WEIGHTS, beam: int = 1):
+        self.beam = max(1, int(beam))
         if isinstance(weights_path, (str, Path)):
             primary = Path(weights_path)
             paths = [primary] + sorted(
@@ -548,6 +549,9 @@ class NeuralG2P:
             if len(self.members) > 1:
                 out = np_ensemble_greedy_decode(self.members, ids,
                                                 self.member_heads)
+            elif self.beam > 1:
+                out = np_beam_decode(self.params, ids, beam=self.beam,
+                                     n_heads=self.n_heads)
             else:
                 out = np_greedy_decode(self.params, ids, self.n_heads)
             if out:

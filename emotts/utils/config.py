@@ -299,6 +299,9 @@ class InferenceConfig:
     vocoder_checkpoint: str = ""  # path to a converted HiFi-GAN checkpoint
     lexicon_path: str = ""  # optional CMUdict-format lexicon for G2P
     neural_g2p: bool = True  # trained OOV fallback (emotts/text/neural_g2p.py)
+    # beam width for the neural OOV decode (1 = greedy; >1 pays ~beam x the
+    # one-time per-novel-word decode cost — memoized thereafter)
+    neural_g2p_beam: int = 1
     output_path: str = "demo"
 
 

@@ -49,6 +49,31 @@ def test_decode_deterministic(model):
     assert a == b
 
 
+def test_beam_decode_option(model):
+    # beam=1 must be exactly the greedy path; beam>1 must yield valid
+    # vocab output and route through np_beam_decode (single member)
+    beamed = ng.NeuralG2P(beam=4)
+    assert beamed.beam == 4
+    for word in ["blorptastic", "zembla"]:
+        greedy = model.word_to_phonemes(word)
+        b4 = beamed.word_to_phonemes(word)
+        assert b4, word
+        assert all(p in VALID_TOKENS for p in b4), (word, b4)
+        ids = ng.encode_word(word)
+        assert b4 == ng.decode_phoneme_ids(
+            ng.np_beam_decode(beamed.params, ids, beam=4,
+                              n_heads=beamed.n_heads)
+        )
+        assert greedy == ng.decode_phoneme_ids(
+            ng.np_greedy_decode(model.params, ids, model.n_heads)
+        )
+
+
+def test_g2p_neural_beam_plumbing():
+    g = G2P(neural=True, neural_beam=3)
+    assert g.neural is not None and g.neural.beam == 3
+
+
 def test_unencodable_words_return_none(model):
     assert model.word_to_phonemes("café") is None
     assert model.word_to_phonemes("x" * 40) is None
