@@ -463,6 +463,13 @@ class G2P:
                 hyp = (self.neural.word_to_phonemes(word)
                        if self.neural is not None else None)
                 if hyp:
+                    # POS-aware stress for true OOVs: where the homograph
+                    # table abstains, unambiguous local context (to X /
+                    # the X) applies the productive disyllabic noun/verb
+                    # stress alternation to the neural hypothesis
+                    pos = homograph.oov_pos(words, i)
+                    if pos is not None:
+                        hyp = homograph.shift_disyllable_stress(hyp, pos)
                     tier, pron = "neural", hyp
                 else:
                     tier, pron = "lts", letter_to_sound(word)

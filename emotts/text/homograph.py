@@ -489,3 +489,57 @@ def resolve(words: List[str], i: int,
 def words_of(text: str) -> List[str]:
     """Tokenize cleaned text the same way the G2P driver does."""
     return _WORD_RE.findall(text)
+
+
+# ---------------------------------------------------------------------------
+# OOV stress adjustment (the neural tier's POS awareness)
+# ---------------------------------------------------------------------------
+
+# strong-evidence-only subsets of the tagger cue sets: an OOV has no entry
+# to arbitrate weak cues against, so only unambiguous local context counts
+_OOV_VERB_PREV = frozenset(
+    "to will would can could shall should may might must do does did "
+    "don't doesn't didn't won't cannot couldn't wouldn't shouldn't".split()
+)
+_OOV_NOUN_PREV = frozenset(
+    "the a an this that these those my your his her its our their "
+    "another each every".split()
+)
+
+
+def oov_pos(words: List[str], i: int) -> Optional[str]:
+    """``"v"``/``"n"`` for ``words[i]`` on UNAMBIGUOUS local evidence only,
+    else ``None``.  Used by the G2P driver to stress-adjust neural OOV
+    hypotheses (SoundChoice's sentence-context awareness for words outside
+    the curated table, reference fastspeech2/util.py:20-27)."""
+    prev = words[i - 1] if i > 0 else ""
+    if prev in _OOV_VERB_PREV:
+        return "v"
+    if prev in _OOV_NOUN_PREV:
+        return "n"
+    return None
+
+
+def shift_disyllable_stress(phones: List[str], pos: str) -> List[str]:
+    """Apply the productive English disyllabic noun/verb alternation to an
+    OOV hypothesis: verbs iambic (re-CORD), nouns trochaic (RE-cord).
+
+    Only rewrites when the input has exactly two stress-bearing vowels and
+    the primary lands on the wrong syllable for ``pos``; anything else is
+    returned unchanged (the neural model's stress discipline is measured
+    good — see BENCH_NOTES "stress canonicalization" — so edits stay
+    maximally conservative)."""
+    vowels = [k for k, p in enumerate(phones) if p[-1:] in "012"]
+    if len(vowels) != 2:
+        return phones
+    a, b = vowels
+    out = list(phones)
+    if pos == "v" and phones[a].endswith("1") and not phones[b].endswith("1"):
+        out[a] = phones[a][:-1] + "0"
+        out[b] = phones[b][:-1] + "1"
+        return out
+    if pos == "n" and phones[b].endswith("1") and not phones[a].endswith("1"):
+        out[a] = phones[a][:-1] + "1"
+        out[b] = phones[b][:-1] + "0"
+        return out
+    return phones

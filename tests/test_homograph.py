@@ -221,3 +221,49 @@ def test_g2p_cli_verb(capsys):
     out = capsys.readouterr().out
     assert "homograph" in out and "K L OW1 Z" in out
     assert out.strip().splitlines()[-1].startswith("[g2p]")
+
+
+# ---------------------------------------------------------------------------
+# OOV POS-aware stress (the neural tier's context awareness)
+# ---------------------------------------------------------------------------
+
+from emotts.text.homograph import oov_pos, shift_disyllable_stress
+
+
+def test_oov_pos_strong_evidence_only():
+    assert oov_pos("we need to zembla the door".split(), 3) == "v"
+    assert oov_pos("the zembla was heavy".split(), 1) == "n"
+    # weak/no evidence abstains
+    assert oov_pos("zembla arrived early".split(), 0) is None
+    assert oov_pos("it was zembla".split(), 2) is None
+
+
+def test_shift_disyllable_stress_rules():
+    troch = ["Z", "EH1", "M", "B", "L", "AH0"]
+    iamb = ["Z", "EH0", "M", "B", "L", "AH1"]
+    assert shift_disyllable_stress(troch, "v") == iamb
+    assert shift_disyllable_stress(iamb, "n") == troch
+    # already-correct patterns untouched
+    assert shift_disyllable_stress(iamb, "v") == iamb
+    assert shift_disyllable_stress(troch, "n") == troch
+    # non-disyllables untouched
+    tri = ["B", "L", "AO0", "R", "P", "T", "AE1", "S", "T", "IH0", "K"]
+    assert shift_disyllable_stress(tri, "v") == tri
+    mono = ["D", "AO1", "G"]
+    assert shift_disyllable_stress(mono, "v") == mono
+
+
+def test_neural_oov_stress_follows_pos_context():
+    g = G2P(neural=True)
+    if g.neural is None:
+        pytest.skip("bundled neural weights unavailable")
+    rows_v = {w: (t, p) for w, t, p in g.explain("we need to zembla the door")}
+    rows_n = {w: (t, p) for w, t, p in g.explain("the zembla was heavy")}
+    tier_v, pron_v = rows_v["zembla"]
+    tier_n, pron_n = rows_n["zembla"]
+    assert tier_v == "neural" and tier_n == "neural"
+    vowels_v = [p for p in pron_v if p[-1:] in "012"]
+    vowels_n = [p for p in pron_n if p[-1:] in "012"]
+    if len(vowels_v) == 2:  # guards against future weights changing syllables
+        assert vowels_v[1].endswith("1"), pron_v   # verb context: iambic
+        assert vowels_n[0].endswith("1"), pron_n   # noun context: trochaic
