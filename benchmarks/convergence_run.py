@@ -174,7 +174,8 @@ def main() -> int:
     from emotts.eval.intensity_eval import evaluate_intensity_efficacy
 
     intensity_texts = [t for t in args.intensity_texts.split("|") if t.strip()]
-    _INT_KEYS = ("monotonic_fraction_strict", "pairwise_order_accuracy",
+    _INT_KEYS = ("monotonic_fraction_strict", "monotonic_fraction_strict_ci95",
+                 "pairwise_order_accuracy", "pairwise_order_accuracy_ci95",
                  "monotonic_fraction_cell_mean", "emotion_silhouette_h")
 
     def intensity_eval(fs2_exp, tag):

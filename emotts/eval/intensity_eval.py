@@ -249,16 +249,24 @@ class IntensityEfficacyEvaluator:
         strict = 0
         n_cells = 0
         pair_ok = pair_tot = 0
+        cell_strict_flags: List[float] = []
+        cell_pair_acc: List[float] = []
         for key, by_level in cells.items():
             if len(by_level) < 2:
                 continue
             seq = [by_level[lv] for lv in sorted(by_level)]
             n_cells += 1
-            strict += all(a < b for a, b in zip(seq, seq[1:]))
+            is_mono = all(a < b for a, b in zip(seq, seq[1:]))
+            strict += is_mono
+            cell_strict_flags.append(float(is_mono))
+            ok = tot = 0
             for i in range(len(seq)):
                 for j in range(i + 1, len(seq)):
                     pair_tot += 1
+                    tot += 1
                     pair_ok += seq[i] < seq[j]
+                    ok += seq[i] < seq[j]
+            cell_pair_acc.append(ok / tot)
 
         # per-(spk,emo) mean score per level across texts
         agg: Dict = defaultdict(lambda: defaultdict(list))
@@ -289,15 +297,28 @@ class IntensityEfficacyEvaluator:
             except Exception:  # sklearn genuinely unavailable
                 silhouette = None
 
+        def boot_ci(vals: List[float], n_boot: int = 2000) -> Optional[list]:
+            """Bootstrap 95% CI over (text, spk, emo) cells — the unit of
+            independence for the ordering metrics."""
+            if len(vals) < 2:
+                return None
+            arr = np.asarray(vals, np.float64)
+            rng = np.random.default_rng(0)
+            means = rng.choice(arr, size=(n_boot, len(arr))).mean(axis=1)
+            lo, hi = np.percentile(means, [2.5, 97.5])
+            return [round(float(lo), 4), round(float(hi), 4)]
+
         report = {
             "n_synthesized": len(rows),
             "n_level_cells": n_cells,
             "monotonic_fraction_strict": (
                 strict / n_cells if n_cells else None
             ),
+            "monotonic_fraction_strict_ci95": boot_ci(cell_strict_flags),
             "pairwise_order_accuracy": (
                 pair_ok / pair_tot if pair_tot else None
             ),
+            "pairwise_order_accuracy_ci95": boot_ci(cell_pair_acc),
             "monotonic_fraction_cell_mean": (
                 cell_strict / len(agg) if agg else None
             ),

@@ -74,6 +74,11 @@ def test_metrics_partial_and_pairwise():
     assert rep["monotonic_fraction_strict"] == pytest.approx(0.5)
     assert rep["pairwise_order_accuracy"] == pytest.approx(5 / 6)
     assert rep["by_cell"]["a/angry"]["monotone_strict"] is False
+    # bootstrap CIs over cells: well-formed, bracket the point estimates
+    lo, hi = rep["monotonic_fraction_strict_ci95"]
+    assert 0.0 <= lo <= rep["monotonic_fraction_strict"] <= hi <= 1.0
+    lo, hi = rep["pairwise_order_accuracy_ci95"]
+    assert 0.0 <= lo <= rep["pairwise_order_accuracy"] <= hi <= 1.0
 
 
 def test_metrics_cell_mean_across_texts():
