@@ -367,6 +367,30 @@ def main(argv=None) -> int:
         print(f"[evaluate] {report['n_utterances']} utterances")
         for k, v in overall.items():
             print(f"[evaluate]   {k}: {v:.4f}")
+        # the title capability is part of the standard quality report: run
+        # the intensity-efficacy sweep too when its artifacts exist
+        # (intensity.npy + best FS2 checkpoint), and fold it into eval.json
+        try:
+            from emotts.eval.intensity_eval import evaluate_intensity_efficacy
+
+            intensity = evaluate_intensity_efficacy(cfg)
+        except FileNotFoundError as exc:
+            print(f"[evaluate] intensity efficacy skipped: {exc}")
+        else:
+            import json as _json
+
+            for k in ("monotonic_fraction_strict", "pairwise_order_accuracy",
+                      "emotion_silhouette_h"):
+                v = intensity.get(k)
+                val = f"{v:.4f}" if v is not None else "n/a"
+                print(f"[evaluate]   intensity/{k}: {val}")
+            with open(report["path"]) as f:
+                merged = _json.load(f)
+            merged["intensity_efficacy"] = {
+                k: v for k, v in intensity.items() if k != "path"
+            }
+            with open(report["path"], "w") as f:
+                _json.dump(merged, f, indent=2)
         print(f"[evaluate] report: {report['path']}")
 
     elif args.command == "eval-intensity":
