@@ -119,6 +119,10 @@ def _parse(argv):
     parser.add_argument("--texts-file", default=None,
                         help="(eval-intensity) file of sentences, one per "
                         "line, to average the sweep over")
+    parser.add_argument("--contrast", type=float, default=1.0,
+                        help="(eval-intensity) exaggerate level prototypes "
+                        "around their per-cell mean (diagnostic; 1.0 = the "
+                        "production bank)")
     parser.add_argument("--stream", action="store_true",
                         help="(synthesize --text-file) streaming mode: vocode "
                         "in chunks and report time-to-first-audio")
@@ -402,9 +406,11 @@ def main(argv=None) -> int:
                 texts = [ln.strip() for ln in f if ln.strip()]
         elif args.text:
             texts = [args.text]
-        report = evaluate_intensity_efficacy(cfg, texts=texts)
+        report = evaluate_intensity_efficacy(
+            cfg, texts=texts, contrast=args.contrast
+        )
         print(f"[eval-intensity] {report['n_synthesized']} synthesized "
-              f"({report['feature_path']})")
+              f"({report['feature_path']}, contrast {args.contrast:g})")
         for k in ("monotonic_fraction_strict", "pairwise_order_accuracy",
                   "monotonic_fraction_cell_mean", "emotion_silhouette_h"):
             v = report.get(k)

@@ -152,12 +152,32 @@ class IntensityEfficacyEvaluator:
 
     # -- the sweep ----------------------------------------------------------
 
+    def _conditioning(
+        self, s: int, e: int, lv: float, n_phones: int, contrast: float
+    ) -> np.ndarray:
+        """Level conditioning for one combo.  ``contrast`` exaggerates the
+        prototypes around their per-(speaker, emotion) level-mean:
+        ``m + contrast * (p_lv - m)`` — a DIAGNOSTIC separating "the FS2
+        conditioning path does not respond" from "the rank model's buckets
+        are too close to measure" (a shallow-trained rank model yields
+        near-identical level prototypes; see BENCH_NOTES round-3 campaign).
+        ``contrast=1`` is exactly the production prototype bank."""
+        if contrast == 1.0 or e == 0 or self.synth.intensity_bank is None:
+            return self.synth.intensity_for(s, e, lv, n_phones)
+        p = self.synth._proto(s, e, lv)
+        m = np.asarray(self.synth.intensity_bank[s, e], np.float32).mean(0)
+        amp = m + contrast * (p - m)
+        return np.broadcast_to(
+            amp, (n_phones, len(amp))
+        ).astype(np.float32)
+
     def run(
         self,
         texts: Optional[Sequence[str]] = None,
         levels: Optional[Sequence[float]] = None,
         out_path: Optional[str] = None,
         include_neutral: bool = True,
+        contrast: float = 1.0,
     ) -> Dict:
         cfg = self.cfg
         texts = list(texts) if texts else [cfg.inference.text]
@@ -183,7 +203,7 @@ class IntensityEfficacyEvaluator:
             spk_arr = np.array([s for s, _, _ in combos], np.int32)
             inten = np.stack(
                 [
-                    self.synth.intensity_for(s, e, lv, len(ids))
+                    self._conditioning(s, e, lv, len(ids), contrast)
                     for s, e, lv in combos
                 ]
             )
@@ -223,6 +243,7 @@ class IntensityEfficacyEvaluator:
         report = self._metrics(rows, pooled, levels)
         report["n_texts"] = len(texts)
         report["levels"] = levels
+        report["contrast"] = contrast
         report["feature_path"] = (
             "vocoded_audio" if use_vocoder else "mel_only(pitch/energy zeroed)"
         )
@@ -334,6 +355,7 @@ def evaluate_intensity_efficacy(
     rank_exp: Optional[str] = None,
     texts: Optional[Sequence[str]] = None,
     out_path: Optional[str] = None,
+    contrast: float = 1.0,
 ) -> Dict:
     """Assemble everything from experiment artifacts and run the eval.
 
@@ -363,4 +385,4 @@ def evaluate_intensity_efficacy(
     ev = IntensityEfficacyEvaluator(cfg, synth, rank_params, stats)
     if out_path is None:
         out_path = os.path.join(fs2_exp, "intensity_eval.json")
-    return ev.run(texts=texts, out_path=out_path)
+    return ev.run(texts=texts, out_path=out_path, contrast=contrast)

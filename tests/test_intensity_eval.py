@@ -179,3 +179,40 @@ def test_intensity_eval_end_to_end(tmp_path):
     assert rep2["feature_path"] == "mel_only(pitch/energy zeroed)"
     assert rep2["n_level_cells"] == n_emo_cells
     assert 0.0 <= rep2["pairwise_order_accuracy"] <= 1.0
+
+
+def test_conditioning_contrast_amplification():
+    """contrast=c maps p_lv -> mean + c*(p_lv - mean); c=1 is the bank."""
+
+    class _FakeSynth:
+        def __init__(self, bank):
+            self.intensity_bank = bank
+
+        def _proto(self, s, e, lv):
+            return self.intensity_bank[s, e, int(lv)]
+
+        def intensity_for(self, s, e, lv, n):
+            if e == 0:
+                return np.zeros((n, self.intensity_bank.shape[-1]), np.float32)
+            return np.broadcast_to(
+                self._proto(s, e, lv), (n, self.intensity_bank.shape[-1])
+            ).astype(np.float32)
+
+    rng = np.random.default_rng(3)
+    bank = rng.normal(size=(1, 2, 3, 5)).astype(np.float32)
+    cfg = Config()
+    ev = _bare_evaluator(cfg)
+    ev.synth = _FakeSynth(bank)
+
+    base = ev._conditioning(0, 1, 2.0, 4, contrast=1.0)
+    assert np.allclose(base, bank[0, 1, 2])
+    amp = ev._conditioning(0, 1, 2.0, 4, contrast=5.0)
+    m = bank[0, 1].mean(0)
+    assert np.allclose(amp[0], m + 5.0 * (bank[0, 1, 2] - m), atol=1e-6)
+    # amplification preserves the per-cell level mean and scales spreads 5x
+    rows = np.stack([ev._conditioning(0, 1, float(l), 1, 5.0)[0]
+                     for l in range(3)])
+    assert np.allclose(rows.mean(0), m, atol=1e-6)
+    assert np.allclose(rows - m, 5.0 * (bank[0, 1] - m), atol=1e-5)
+    # neutral stays zeros at any contrast
+    assert not ev._conditioning(0, 0, 1.0, 3, contrast=5.0).any()
