@@ -62,6 +62,11 @@ def main() -> int:
     ap.add_argument("--fs2-stages", default="700,700,700")
     ap.add_argument("--voc-stages", default="1000,1000")
     ap.add_argument("--eval-f0-utts", type=int, default=16)
+    ap.add_argument("--eval-max-batches", type=int, default=None,
+                    help="cap the PER-STAGE Evaluator runs to this many "
+                    "batches (deterministic head of the valid split, so the "
+                    "stage series stays like-for-like); the FINAL eval "
+                    "always uses the full held-out split")
     ap.add_argument("--tiny", action="store_true",
                     help="shrink every model to smoke-test the campaign "
                     "plumbing on CPU (numbers are meaningless)")
@@ -208,6 +213,7 @@ def main() -> int:
         ev = Evaluator(cfg, fs2_exp=fs2_exp, rank_exp=rank_exp)
         report = ev.run(
             split="valid",
+            max_batches=args.eval_max_batches,
             out_path=str(root / f"eval_stage{k}.json"),
             f0_max_utts=0,
         )
@@ -225,6 +231,9 @@ def main() -> int:
         summary["stages"].append(row)
         print(f"[conv] fs2 stage {k} ({total_steps} steps): "
               + json.dumps(row), flush=True)
+        (root / "convergence_summary.partial.json").write_text(
+            json.dumps(summary, indent=2)
+        )
 
     # ---- vocoder GAN in stages ----------------------------------------
     voc_stages = [int(s) for s in args.voc_stages.split(",") if s]
@@ -255,6 +264,9 @@ def main() -> int:
         )
         print(f"[conv] vocoder stage {k}: mel_l1 series tail "
               f"{mel_l1[-3:]}", flush=True)
+        (root / "convergence_summary.partial.json").write_text(
+            json.dumps(summary, indent=2)
+        )
 
     # ---- final eval with the trained vocoder (F0 metrics) -------------
     from emotts.infer.synthesize import load_vocoder_checkpoint
