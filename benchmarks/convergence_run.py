@@ -62,6 +62,12 @@ def main() -> int:
     ap.add_argument("--fs2-stages", default="700,700,700")
     ap.add_argument("--voc-stages", default="1000,1000")
     ap.add_argument("--eval-f0-utts", type=int, default=16)
+    ap.add_argument("--graded-emotions", action="store_true",
+                    help="give the synthetic corpus graded emotion-strength "
+                    "signatures (tests/synthetic_corpus.py::_SIGNATURES) so "
+                    "the rank model has a real intensity axis — without "
+                    "this the corpus carries no intensity gradient and the "
+                    "ordering metrics are expected to sit at chance")
     ap.add_argument("--eval-max-batches", type=int, default=None,
                     help="cap the PER-STAGE Evaluator runs to this many "
                     "batches (deterministic head of the valid split, so the "
@@ -101,6 +107,7 @@ def main() -> int:
     cfg = make_corpus(
         str(root), speakers=speakers, emotions=emotions,
         utts_per_emotion=args.utts_per_emotion,
+        graded_emotions=args.graded_emotions,
     )
     preprocess_all(cfg, verbose=False)
     build_rank_pair_lists(cfg)

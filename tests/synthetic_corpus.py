@@ -20,6 +20,24 @@ from emotts.utils.config import Config
 
 _PHONES = ["HH", "AH0", "L", "OW1", "W", "ER1", "D", "K", "AE1", "T"]
 
+# Graded emotion signatures (opt-in via make_corpus(graded_emotions=True)).
+# Each non-neutral emotion gets a distinct acoustic recipe whose magnitude
+# scales with a per-utterance strength s ~ U(0.15, 1) — the synthetic
+# counterpart of EmoV-DB's intra-class intensity variation, without which
+# the rank model has no intensity axis to learn (bucket prototypes collapse
+# to 1-2% spread and ordering metrics cap at chance; see
+# emotts/eval/intensity_eval.py --contrast).  Components were chosen to
+# survive the feature chain: 3rd-harmonic ratio and AM sidebands are
+# mel-visible, the f0 scale moves both the pitch track and the mel harmonic
+# peaks.  (h3 = 3rd-harmonic amplitude, am = (depth, rate_hz), f0 = relative
+# f0 shift at s=1.)
+_SIGNATURES = [
+    {"h3": 0.35, "am": (0.35, 5.0), "f0": 0.12},   # amused-like
+    {"h3": 0.50, "am": (0.50, 30.0), "f0": 0.22},  # angry-like
+    {"h3": 0.15, "am": (0.25, 2.0), "f0": -0.18},  # sleepy-like
+    {"h3": 0.25, "am": (0.40, 9.0), "f0": -0.08},  # disgust-like
+]
+
 
 def make_corpus(
     root: str,
@@ -28,8 +46,14 @@ def make_corpus(
     utts_per_emotion: int = 8,
     sr: int = 16000,
     seed: int = 0,
+    graded_emotions: bool = False,
 ) -> Config:
-    """Build a tiny corpus under ``root`` and return a matching Config."""
+    """Build a tiny corpus under ``root`` and return a matching Config.
+
+    With ``graded_emotions=True`` every non-neutral utterance carries its
+    emotion's :data:`_SIGNATURES` recipe at a random strength, giving the
+    rank model a real intensity gradient (emotion index 0 is treated as
+    neutral, matching the pipeline's convention)."""
     rng = np.random.default_rng(seed)
     root_p = Path(root)
     corpus = root_p / "corpus"
@@ -38,7 +62,9 @@ def make_corpus(
     for speaker in speakers:
         (corpus / speaker).mkdir(parents=True, exist_ok=True)
         (aligned / speaker).mkdir(parents=True, exist_ok=True)
-        for emotion in emotions:
+        for ei, emotion in enumerate(emotions):
+            sig = (_SIGNATURES[(ei - 1) % len(_SIGNATURES)]
+                   if graded_emotions and ei > 0 else None)
             for i in range(utts_per_emotion):
                 audio_id = f"{i:04d}"
                 n_phones = int(rng.integers(3, 7))
@@ -46,14 +72,27 @@ def make_corpus(
                 total = float(phone_durs.sum())
                 lead, tail = 0.1, 0.1
 
+                # per-utterance emotion strength: the intensity ground truth
+                s = float(rng.uniform(0.15, 1.0)) if sig is not None else 0.0
+
                 # voiced signal: per-phone tones with vibrato
                 f_base = rng.uniform(120, 280)
+                if sig is not None:
+                    f_base *= 1.0 + s * sig["f0"]
                 samples = []
+                t_off = 0.0  # utterance-continuous clock so AM has no seams
                 for k, d in enumerate(phone_durs):
                     t = np.arange(int(d * sr)) / sr
                     f = f_base * (1.0 + 0.08 * k)
                     seg = 0.4 * np.sin(2 * np.pi * f * t)
                     seg += 0.2 * np.sin(2 * np.pi * 2 * f * t)
+                    if sig is not None:
+                        seg += s * sig["h3"] * np.sin(2 * np.pi * 3 * f * t)
+                        depth, rate = sig["am"]
+                        seg *= 1.0 + s * depth * np.sin(
+                            2 * np.pi * rate * (t + t_off)
+                        )
+                    t_off += float(d)
                     samples.append(seg)
                 y = np.concatenate(
                     [np.zeros(int(lead * sr))]
@@ -61,6 +100,13 @@ def make_corpus(
                     + [np.zeros(int(tail * sr))]
                 ).astype(np.float32)
                 y += 0.003 * rng.standard_normal(len(y)).astype(np.float32)
+                if sig is not None:
+                    # AM + added harmonic can push |y| past 1; rescale instead
+                    # of letting write_wav clip (clipping would add its own
+                    # s-dependent distortion outside the designed signature)
+                    peak = float(np.abs(y).max())
+                    if peak > 0.9:
+                        y *= np.float32(0.9 / peak)
 
                 stem = corpus / speaker / f"{emotion}_{audio_id}"
                 write_wav(str(stem) + ".wav", y, sr)

@@ -129,6 +129,49 @@ def vectorize(pairs):
 # ---------------------------------------------------------------------------
 
 
+def _save_resume(path, params, opt_state, swa_sum, epoch_done, it, swa_n):
+    """Persist the full training state (params + optimizer + SWA accumulator)
+    so a killed run restarts at the last finished epoch instead of from
+    scratch.  Tree STRUCTURE is not serialized — it is rebuilt from
+    code+args on resume and only the flattened leaves are stored, so the
+    format stays a plain npz."""
+    import jax
+
+    leaves = jax.tree.flatten((params, opt_state))[0]
+    out = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
+    if swa_sum is not None:
+        for i, v in enumerate(jax.tree.flatten(swa_sum)[0]):
+            out[f"swa_{i}"] = np.asarray(v)
+    out["__epoch_done__"] = np.array([epoch_done], np.int64)
+    out["__it__"] = np.array([it], np.int64)
+    out["__swa_n__"] = np.array([swa_n], np.int64)
+    tmp = str(path) + ".tmp.npz"
+    np.savez(tmp, **out)
+    Path(tmp).replace(path)  # atomic: never a torn checkpoint at `path`
+    print(f"[resume] checkpoint @ epoch {epoch_done} -> {path}", flush=True)
+
+
+def _load_resume(path, params, opt_state, swa_template):
+    """Inverse of :func:`_save_resume`; templates provide the tree defs."""
+    import jax
+    import jax.numpy as jnp
+
+    data = np.load(path)
+    leaves, treedef = jax.tree.flatten((params, opt_state))
+    new_leaves = [jnp.asarray(data[f"leaf_{i}"]).astype(l.dtype)
+                  if hasattr(l, "dtype") else type(l)(data[f"leaf_{i}"])
+                  for i, l in enumerate(leaves)]
+    params, opt_state = jax.tree.unflatten(treedef, new_leaves)
+    swa_sum = None
+    if "swa_0" in data.files:
+        s_leaves, s_def = jax.tree.flatten(swa_template)
+        swa_sum = jax.tree.unflatten(
+            s_def, [jnp.asarray(data[f"swa_{i}"], jnp.float32)
+                    for i in range(len(s_leaves))])
+    return (params, opt_state, swa_sum, int(data["__epoch_done__"][0]),
+            int(data["__it__"][0]), int(data["__swa_n__"][0]))
+
+
 def train(args):
     import jax
     import jax.numpy as jnp
@@ -196,9 +239,21 @@ def train(args):
     # sits nearer the basin center than any single late-schedule point
     swa_start = int(args.epochs * (1.0 - args.swa_frac))
     swa_sum, swa_n = None, 0
+    start_epoch, it = 0, 0
+    resume_path = Path(args.out).with_suffix(".resume.npz")
+    if args.resume_from or (args.checkpoint_every and resume_path.exists()):
+        src = Path(args.resume_from) if args.resume_from else resume_path
+        swa_template = {k: v.astype(jnp.float32) for k, v in params.items()}
+        params, opt_state, swa_sum, start_epoch, it, swa_n = _load_resume(
+            src, params, opt_state, swa_template)
+        # replay the host-side permutation stream so batch order continues
+        # exactly where the killed run left off (keys are index-sliced)
+        for _ in range(start_epoch):
+            np_rng.permutation(n)
+        print(f"[resume] continuing from {src} at epoch {start_epoch}/"
+              f"{args.epochs} (it={it}, swa_n={swa_n})", flush=True)
     t0 = time.time()
-    it = 0
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         perm = np_rng.permutation(n)[:steps_per_epoch * args.batch]
         idxs = jnp.asarray(perm.reshape(steps_per_epoch, args.batch))
         params, opt_state, losses = epoch_steps(
@@ -215,6 +270,10 @@ def train(args):
             ep_loss = float(jnp.mean(losses))
             print(f"epoch {epoch + 1:3d}/{args.epochs}  loss {ep_loss:.4f}"
                   f"  ({time.time() - t0:.0f}s)", flush=True)
+        if args.checkpoint_every and (epoch + 1) % args.checkpoint_every == 0 \
+                and epoch + 1 < args.epochs:
+            _save_resume(resume_path, params, opt_state, swa_sum,
+                         epoch + 1, it, swa_n)
 
     np_params = {k: np.asarray(v, np.float32) for k, v in params.items()}
     swa_params = None
@@ -344,6 +403,14 @@ def main():
                     help="weight-init/order seed (default: --seed); vary "
                     "this, not --seed, to train ensemble members that share "
                     "one held-out split")
+    ap.add_argument("--checkpoint-every", type=int, default=0, metavar="E",
+                    help="save a full resume checkpoint (params+optimizer+"
+                    "SWA) every E epochs to <out>.resume.npz; a restart "
+                    "with the same flags auto-resumes from it")
+    ap.add_argument("--resume-from", default=None, metavar="NPZ",
+                    help="explicit resume checkpoint (default: "
+                    "<out>.resume.npz when --checkpoint-every is set and "
+                    "the file exists)")
     ap.add_argument("--swa-frac", type=float, default=0.25,
                     help="average weights over the last FRAC of epochs")
     ap.add_argument("--final-eval-limit", type=int, default=None,
@@ -406,6 +473,7 @@ def main():
     metrics = evaluate(np_params, eval_pairs, "held-out", n_heads=args.heads)
     save(np_params, metrics)  # save with the recorded quality metrics
     Path(args.out).with_suffix(".unevaluated.npz").unlink(missing_ok=True)
+    Path(args.out).with_suffix(".resume.npz").unlink(missing_ok=True)
     # base (lexicon-root) words only — the hardest, most honest subset:
     # unseen roots with no morphological signal
     g2p = G2P()
