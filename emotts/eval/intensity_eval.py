@@ -244,6 +244,7 @@ class IntensityEfficacyEvaluator:
         report["n_texts"] = len(texts)
         report["levels"] = levels
         report["contrast"] = contrast
+        report["prototype_spread"] = self._prototype_spread()
         report["feature_path"] = (
             "vocoded_audio" if use_vocoder else "mel_only(pitch/energy zeroed)"
         )
@@ -252,6 +253,37 @@ class IntensityEfficacyEvaluator:
                 json.dump(report, f, indent=2)
             report["path"] = out_path
         return report
+
+    def _prototype_spread(self) -> Optional[Dict]:
+        """How distinguishable the level prototypes are, per the bank itself:
+        mean pairwise L2 distance between a cell's level prototypes, as a
+        fraction of the cell's mean prototype norm (averaged over all
+        non-neutral (speaker, emotion) cells).  A spread of a few percent
+        means the bucketizer found no usable intensity axis in the training
+        corpus — ordering metrics are then capped at chance regardless of
+        FS2 quality (the --contrast diagnostic separates the two)."""
+        bank = self.synth.intensity_bank
+        if bank is None:
+            return None
+        bank = np.asarray(bank, np.float64)  # (n_spk, n_emo, n_lv, dim)
+        fracs = []
+        for s in range(bank.shape[0]):
+            for e in range(1, bank.shape[1]):
+                protos = bank[s, e]  # (n_lv, dim)
+                norms = np.linalg.norm(protos, axis=-1)
+                if norms.mean() < 1e-12:
+                    continue
+                d = [np.linalg.norm(protos[i] - protos[j])
+                     for i in range(len(protos))
+                     for j in range(i + 1, len(protos))]
+                fracs.append(float(np.mean(d) / norms.mean()))
+        if not fracs:
+            return None
+        return {
+            "mean_pairwise_over_norm": round(float(np.mean(fracs)), 5),
+            "min": round(float(np.min(fracs)), 5),
+            "max": round(float(np.max(fracs)), 5),
+        }
 
     # -- metrics -------------------------------------------------------------
 
