@@ -62,12 +62,15 @@ def main() -> int:
     ap.add_argument("--fs2-stages", default="700,700,700")
     ap.add_argument("--voc-stages", default="1000,1000")
     ap.add_argument("--eval-f0-utts", type=int, default=16)
-    ap.add_argument("--graded-emotions", action="store_true",
+    ap.add_argument("--graded-emotions", default=True,
+                    action=argparse.BooleanOptionalAction,
                     help="give the synthetic corpus graded emotion-strength "
                     "signatures (tests/synthetic_corpus.py::_SIGNATURES) so "
-                    "the rank model has a real intensity axis — without "
-                    "this the corpus carries no intensity gradient and the "
-                    "ordering metrics are expected to sit at chance")
+                    "the rank model has a real intensity axis — the DEFAULT, "
+                    "because without it the corpus carries no intensity "
+                    "gradient and the ordering metrics sit at chance by "
+                    "construction (--no-graded-emotions opts into that "
+                    "degenerate mode explicitly)")
     ap.add_argument("--eval-max-batches", type=int, default=None,
                     help="cap the PER-STAGE Evaluator runs to this many "
                     "batches (deterministic head of the valid split, so the "
@@ -99,7 +102,15 @@ def main() -> int:
     root = Path(args.root)
     root.mkdir(parents=True, exist_ok=True)
     walls = {}
-    summary = {"stages": []}
+    summary = {
+        "corpus": {
+            "speakers": args.speakers,
+            "emotions": 5,
+            "utts_per_emotion": args.utts_per_emotion,
+            "graded_emotions": bool(args.graded_emotions),
+        },
+        "stages": [],
+    }
 
     t0 = time.time()
     speakers = tuple(f"spk_{chr(97 + i)}" for i in range(args.speakers))
@@ -182,11 +193,27 @@ def main() -> int:
     bucketize(cfg, exp_path=rank_exp)
     walls["bucketize"] = time.time() - t0
 
+    # did the rank model learn the corpus's intensity axis?  With the graded
+    # corpus the ground-truth strengths are on disk — correlate them against
+    # the frozen model's λ≡1 scores (the bucketizer's sort key)
+    strengths_path = root / "strengths.json"
+    if strengths_path.exists():
+        from emotts.eval.intensity_eval import rank_strength_correlation
+
+        t0 = time.time()
+        summary["rank_strength_spearman"] = rank_strength_correlation(
+            cfg, rank_params, json.loads(strengths_path.read_text())
+        )
+        walls["strength_corr"] = time.time() - t0
+        print("[conv] rank-score vs ground-truth strength: "
+              + json.dumps(summary["rank_strength_spearman"]), flush=True)
+
     # ---- FS2 in stages, evaluating after each -------------------------
     from emotts.eval.intensity_eval import evaluate_intensity_efficacy
 
     intensity_texts = [t for t in args.intensity_texts.split("|") if t.strip()]
-    _INT_KEYS = ("monotonic_fraction_strict", "monotonic_fraction_strict_ci95",
+    _INT_KEYS = ("verdict", "prototype_spread",
+                 "monotonic_fraction_strict", "monotonic_fraction_strict_ci95",
                  "pairwise_order_accuracy", "pairwise_order_accuracy_ci95",
                  "monotonic_fraction_cell_mean", "emotion_silhouette_h")
 
@@ -301,6 +328,9 @@ def main() -> int:
     (root / "convergence_summary.json").write_text(
         json.dumps(summary, indent=2)
     )
+    # the incremental partial file is superseded by the final summary —
+    # remove it so an interrupted older run can't masquerade as current
+    (root / "convergence_summary.partial.json").unlink(missing_ok=True)
     print("[conv] SUMMARY")
     print(json.dumps(summary, indent=2))
     return 0

@@ -43,6 +43,16 @@ from emotts.data.datasets import pick_bucket
 from emotts.train.rank_trainer import build_rank_model
 from emotts.utils.config import Config
 
+# Minimum prototype spread (mean pairwise L2 between a cell's level
+# prototypes as a fraction of their mean norm — ``_prototype_spread``) below
+# which the ordering metrics measure nothing: when the bucketizer found no
+# intensity axis in the training corpus, level prototypes are near-identical
+# and strict monotonicity / pairwise order accuracy sit at their chance
+# levels (1/6 and 0.5 for 3 levels) REGARDLESS of FS2 conditioning quality.
+# A corpus with no intra-class intensity variation collapses to a few
+# percent; a usable axis sits well above this floor.
+PROTOTYPE_SPREAD_FLOOR = 0.05
+
 
 def load_feature_stats(cfg: Config) -> Dict:
     """stats.json written by preprocessing: per (speaker, emotion)
@@ -52,19 +62,92 @@ def load_feature_stats(cfg: Config) -> Dict:
         return json.load(f)
 
 
-class IntensityEfficacyEvaluator:
-    """Scores synthesized audio with the frozen rank model.
+def prototype_spread(bank) -> Optional[Dict]:
+    """How distinguishable the level prototypes are, per the bank itself:
+    mean pairwise L2 distance between a cell's level prototypes, as a
+    fraction of the cell's mean prototype norm (averaged over all
+    non-neutral (speaker, emotion) cells).  A spread of a few percent
+    means the bucketizer found no usable intensity axis in the training
+    corpus — ordering metrics are then capped at chance regardless of
+    FS2 quality (the --contrast diagnostic separates the two)."""
+    if bank is None:
+        return None
+    bank = np.asarray(bank, np.float64)  # (n_spk, n_emo, n_lv, dim)
+    fracs = []
+    for s in range(bank.shape[0]):
+        for e in range(1, bank.shape[1]):
+            protos = bank[s, e]  # (n_lv, dim)
+            if protos.shape[0] < 2:
+                continue  # single level: no pairwise distances to take
+            norms = np.linalg.norm(protos, axis=-1)
+            if norms.mean() < 1e-12:
+                continue
+            d = [np.linalg.norm(protos[i] - protos[j])
+                 for i in range(len(protos))
+                 for j in range(i + 1, len(protos))]
+            fracs.append(float(np.mean(d) / norms.mean()))
+    if not fracs:
+        return None
+    return {
+        "mean_pairwise_over_norm": round(float(np.mean(fracs)), 5),
+        "min": round(float(np.min(fracs)), 5),
+        "max": round(float(np.max(fracs)), 5),
+    }
 
-    ``synthesizer`` is an ``emotts.infer.synthesize.Synthesizer`` with the
-    intensity bank loaded; ``rank_params`` the frozen rank-model params
-    (the same checkpoint the bucketizer used); ``stats`` the training
-    stats.json dict (``load_feature_stats``).
-    """
 
-    def __init__(self, cfg: Config, synthesizer, rank_params, stats: Dict):
+def spread_verdict(
+    spread: Optional[Dict], significance: Optional[Dict] = None
+) -> tuple:
+    """Gate the ordering metrics on prototype distinguishability: returns
+    ``("measured", None)`` when the bank's level prototypes are far enough
+    apart to condition on, else ``("no-intensity-axis", <explanation>)`` —
+    chance-level ordering numbers must not read as a measurement of the
+    conditioning path.
+
+    When the bucketizer's ``intensity_meta.json`` sidecar is available
+    (``significance``, emotts/infer/bucketize.py::spread_significance), the
+    gate additionally requires the OBSERVED sorted-bank spread to exceed the
+    95th percentile of the random-bucketing null — absolute spread alone is
+    scale-dependent (small cells produce large incidental spread under any
+    ordering)."""
+    no_axis = "no-intensity-axis"
+    chance_note = (
+        "the training corpus gave the bucketizer no usable intensity "
+        "axis, so the ordering metrics are expected to sit at chance and "
+        "do NOT measure the conditioning path (use --contrast to probe "
+        "the path itself)"
+    )
+    if spread is None or (
+        spread["mean_pairwise_over_norm"] < PROTOTYPE_SPREAD_FLOOR
+    ):
+        val = None if spread is None else spread["mean_pairwise_over_norm"]
+        return no_axis, (
+            f"level prototypes are near-identical (spread {val} < floor "
+            f"{PROTOTYPE_SPREAD_FLOOR}): " + chance_note
+        )
+    if (
+        significance is not None
+        and significance.get("observed") is not None
+        and significance.get("null_p95") is not None
+        and significance["observed"] <= significance["null_p95"]
+    ):
+        return no_axis, (
+            f"sorted-bank spread {significance['observed']} does not exceed "
+            f"the random-bucketing null (p95 {significance['null_p95']}): "
+            + chance_note
+        )
+    return "measured", None
+
+
+class RankScorer:
+    """Frozen rank-model scorer for arbitrary 82-channel feature rows.
+
+    Runs the rank model with λ≡1 (the bucketizer's convention,
+    reference rank_model/inference.py:73) over variable-length rows,
+    bucketed and batched like training."""
+
+    def __init__(self, cfg: Config, rank_params):
         self.cfg = cfg
-        self.synth = synthesizer
-        self.stats = stats
         self.rank_model = build_rank_model(cfg, dtype=jnp.float32)
         self.rank_params = rank_params
 
@@ -78,6 +161,57 @@ class IntensityEfficacyEvaluator:
             return preds[2], preds[4], preds[6]
 
         self._rank_fn = jax.jit(forward)
+
+    def score_rows(self, xs: List[np.ndarray], emotions: List[int]):
+        """Returns (scores (N,), pooled_h (N, n_emo))."""
+        cfg = self.cfg
+        order = sorted(range(len(xs)), key=lambda i: len(xs[i]))
+        scores = np.zeros((len(xs),), np.float32)
+        pooled = np.zeros((len(xs), cfg.n_emotions), np.float32)
+        max_bucket = max(cfg.bucketing.frame_buckets)
+        batch_size = max(1, cfg.train_rank.batch_size)
+        groups: Dict[int, List[int]] = defaultdict(list)
+        for i in order:
+            t = min(len(xs[i]), max_bucket)
+            fb = pick_bucket(t, cfg.bucketing.frame_buckets)
+            groups[fb if fb > 0 else t].append(i)
+        for fb, idxs in sorted(groups.items()):
+            for s in range(0, len(idxs), batch_size):
+                chunk = idxs[s : s + batch_size]
+                x = np.zeros((batch_size, fb, cfg.audio.n_mels + 2),
+                             np.float32)
+                lens = np.zeros((batch_size,), np.int32)
+                emos = np.zeros((batch_size,), np.int32)
+                for row, i in enumerate(chunk):
+                    t = min(len(xs[i]), fb)
+                    x[row, :t] = xs[i][:t]
+                    lens[row] = t
+                    emos[row] = emotions[i]
+                _, h, r = jax.device_get(
+                    self._rank_fn(self.rank_params, x, emos, lens)
+                )
+                for row, i in enumerate(chunk):
+                    scores[i] = float(r[row])
+                    pooled[i] = np.asarray(h[row], np.float32)
+        return scores, pooled
+
+
+class IntensityEfficacyEvaluator:
+    """Scores synthesized audio with the frozen rank model.
+
+    ``synthesizer`` is an ``emotts.infer.synthesize.Synthesizer`` with the
+    intensity bank loaded; ``rank_params`` the frozen rank-model params
+    (the same checkpoint the bucketizer used); ``stats`` the training
+    stats.json dict (``load_feature_stats``).
+    """
+
+    def __init__(self, cfg: Config, synthesizer, rank_params, stats: Dict,
+                 bank_meta: Optional[Dict] = None):
+        self.cfg = cfg
+        self.synth = synthesizer
+        self.stats = stats
+        self.bank_meta = bank_meta  # bucketizer's intensity_meta.json
+        self._scorer = RankScorer(cfg, rank_params)
 
     # -- feature re-extraction from synthesized outputs -------------------
 
@@ -118,37 +252,7 @@ class IntensityEfficacyEvaluator:
     def _score_rows(self, xs: List[np.ndarray], emotions: List[int]):
         """Batch variable-length rows through the jitted rank forward,
         bucketed like training.  Returns (scores (N,), pooled_h (N, n_emo))."""
-        cfg = self.cfg
-        order = sorted(range(len(xs)), key=lambda i: len(xs[i]))
-        scores = np.zeros((len(xs),), np.float32)
-        pooled = np.zeros((len(xs), cfg.n_emotions), np.float32)
-        max_bucket = max(cfg.bucketing.frame_buckets)
-        batch_size = max(1, cfg.train_rank.batch_size)
-        groups: Dict[int, List[int]] = defaultdict(list)
-        for i in order:
-            t = min(len(xs[i]), max_bucket)
-            fb = pick_bucket(t, cfg.bucketing.frame_buckets)
-            groups[fb if fb > 0 else t].append(i)
-        for fb, idxs in sorted(groups.items()):
-            for s in range(0, len(idxs), batch_size):
-                chunk = idxs[s : s + batch_size]
-                b = len(chunk)
-                x = np.zeros((batch_size, fb, cfg.audio.n_mels + 2),
-                             np.float32)
-                lens = np.zeros((batch_size,), np.int32)
-                emos = np.zeros((batch_size,), np.int32)
-                for row, i in enumerate(chunk):
-                    t = min(len(xs[i]), fb)
-                    x[row, :t] = xs[i][:t]
-                    lens[row] = t
-                    emos[row] = emotions[i]
-                _, h, r = jax.device_get(
-                    self._rank_fn(self.rank_params, x, emos, lens)
-                )
-                for row, i in enumerate(chunk):
-                    scores[i] = float(r[row])
-                    pooled[i] = np.asarray(h[row], np.float32)
-        return scores, pooled
+        return self._scorer.score_rows(xs, emotions)
 
     # -- the sweep ----------------------------------------------------------
 
@@ -160,7 +264,8 @@ class IntensityEfficacyEvaluator:
         ``m + contrast * (p_lv - m)`` — a DIAGNOSTIC separating "the FS2
         conditioning path does not respond" from "the rank model's buckets
         are too close to measure" (a shallow-trained rank model yields
-        near-identical level prototypes; see BENCH_NOTES round-3 campaign).
+        near-identical level prototypes — the condition ``_prototype_spread``
+        quantifies and the report's ``verdict`` field gates on).
         ``contrast=1`` is exactly the production prototype bank."""
         if contrast == 1.0 or e == 0 or self.synth.intensity_bank is None:
             return self.synth.intensity_for(s, e, lv, n_phones)
@@ -245,6 +350,14 @@ class IntensityEfficacyEvaluator:
         report["levels"] = levels
         report["contrast"] = contrast
         report["prototype_spread"] = self._prototype_spread()
+        report["prototype_spread_floor"] = PROTOTYPE_SPREAD_FLOOR
+        report["prototype_spread_significance"] = self.bank_meta
+        verdict, note = spread_verdict(
+            report["prototype_spread"], self.bank_meta
+        )
+        report["verdict"] = verdict
+        if note:
+            report["verdict_note"] = note
         report["feature_path"] = (
             "vocoded_audio" if use_vocoder else "mel_only(pitch/energy zeroed)"
         )
@@ -255,35 +368,7 @@ class IntensityEfficacyEvaluator:
         return report
 
     def _prototype_spread(self) -> Optional[Dict]:
-        """How distinguishable the level prototypes are, per the bank itself:
-        mean pairwise L2 distance between a cell's level prototypes, as a
-        fraction of the cell's mean prototype norm (averaged over all
-        non-neutral (speaker, emotion) cells).  A spread of a few percent
-        means the bucketizer found no usable intensity axis in the training
-        corpus — ordering metrics are then capped at chance regardless of
-        FS2 quality (the --contrast diagnostic separates the two)."""
-        bank = self.synth.intensity_bank
-        if bank is None:
-            return None
-        bank = np.asarray(bank, np.float64)  # (n_spk, n_emo, n_lv, dim)
-        fracs = []
-        for s in range(bank.shape[0]):
-            for e in range(1, bank.shape[1]):
-                protos = bank[s, e]  # (n_lv, dim)
-                norms = np.linalg.norm(protos, axis=-1)
-                if norms.mean() < 1e-12:
-                    continue
-                d = [np.linalg.norm(protos[i] - protos[j])
-                     for i in range(len(protos))
-                     for j in range(i + 1, len(protos))]
-                fracs.append(float(np.mean(d) / norms.mean()))
-        if not fracs:
-            return None
-        return {
-            "mean_pairwise_over_norm": round(float(np.mean(fracs)), 5),
-            "min": round(float(np.min(fracs)), 5),
-            "max": round(float(np.max(fracs)), 5),
-        }
+        return prototype_spread(self.synth.intensity_bank)
 
     # -- metrics -------------------------------------------------------------
 
@@ -381,6 +466,80 @@ class IntensityEfficacyEvaluator:
         return report
 
 
+def _spearman(a: np.ndarray, b: np.ndarray) -> float:
+    """Spearman rank correlation (no scipy dependency; ties are vanishingly
+    rare for the continuous inputs this is used on)."""
+    ra = np.argsort(np.argsort(a)).astype(np.float64)
+    rb = np.argsort(np.argsort(b)).astype(np.float64)
+    ra -= ra.mean()
+    rb -= rb.mean()
+    denom = float(np.sqrt((ra ** 2).sum() * (rb ** 2).sum()))
+    return float((ra * rb).sum() / denom) if denom > 0 else 0.0
+
+
+def rank_strength_correlation(
+    cfg: Config,
+    rank_params,
+    strengths: Dict[str, float],
+    split: str = "train",
+) -> Dict:
+    """Correlate the frozen rank model's λ≡1 utterance scores against known
+    ground-truth emotion strengths.
+
+    ``strengths`` maps ``"<speaker>/<emotion>_<id>"`` to the per-utterance
+    strength (the synthetic graded corpus records this to
+    ``strengths.json``; see tests/synthetic_corpus.py).  Returns per-
+    (speaker, emotion) Spearman correlations plus their mean — the direct
+    check that the rank model actually learned the corpus's intensity axis
+    (the precondition for the bucketizer's prototypes, reference
+    rank_model/inference.py:92-118, to encode usable levels)."""
+    from emotts.data.datasets import RankPairDataset
+
+    ds = RankPairDataset(cfg, split)
+    seen = {}
+    for speaker, emotion, emo_id, _ in ds.entries:
+        key = f"{speaker}/{emotion}_{emo_id}"
+        if key in seen or key not in strengths:
+            continue
+        npz = np.load(
+            os.path.join(cfg.data.preprocessed_path, speaker,
+                         f"{emotion}_{emo_id}.npz"),
+            allow_pickle=True,
+        )
+        seen[key] = (
+            RankPairDataset._features(npz),
+            ds.speakers.index(speaker),
+            ds.emotions.index(emotion),
+        )
+    keys = sorted(seen)
+    if not keys:
+        return {"n_utts": 0, "mean_spearman": None, "by_cell": {}}
+    xs = [seen[k][0] for k in keys]
+    emos = [seen[k][2] for k in keys]
+    scores, _ = RankScorer(cfg, rank_params).score_rows(xs, emos)
+
+    cells: Dict = defaultdict(lambda: ([], []))
+    for k, sc in zip(keys, scores):
+        s_true, spk_i, emo_i = strengths[k], seen[k][1], seen[k][2]
+        cells[(spk_i, emo_i)][0].append(s_true)
+        cells[(spk_i, emo_i)][1].append(float(sc))
+    by_cell = {}
+    vals = []
+    for (spk_i, emo_i), (s_list, r_list) in sorted(cells.items()):
+        if len(s_list) < 3:
+            continue
+        rho = _spearman(np.asarray(s_list), np.asarray(r_list))
+        by_cell[f"{cfg.data.speakers[spk_i]}/{cfg.data.emotions[emo_i]}"] = (
+            round(rho, 4)
+        )
+        vals.append(rho)
+    return {
+        "n_utts": len(keys),
+        "mean_spearman": round(float(np.mean(vals)), 4) if vals else None,
+        "by_cell": by_cell,
+    }
+
+
 def evaluate_intensity_efficacy(
     cfg: Config,
     fs2_exp: Optional[str] = None,
@@ -414,7 +573,13 @@ def evaluate_intensity_efficacy(
     template = init_rank_params(cfg, _brm(cfg, jnp.float32), 0)
     rank_params = load_best_params(rank_exp, template)
     stats = load_feature_stats(cfg)
-    ev = IntensityEfficacyEvaluator(cfg, synth, rank_params, stats)
+    meta_path = os.path.join(rank_exp, "intensity_meta.json")
+    bank_meta = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            bank_meta = json.load(f)
+    ev = IntensityEfficacyEvaluator(cfg, synth, rank_params, stats,
+                                    bank_meta=bank_meta)
     if out_path is None:
         out_path = os.path.join(fs2_exp, "intensity_eval.json")
     return ev.run(texts=texts, out_path=out_path, contrast=contrast)

@@ -30,7 +30,8 @@ def compute_intensity_prototypes(
     params,
     mesh=None,
     split: str = "train",
-) -> np.ndarray:
+    return_storage: bool = False,
+):
     """Run the rank model over the split and build the prototype bank."""
     mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
     model = build_rank_model(cfg, dtype=jnp.float32)
@@ -91,9 +92,67 @@ def compute_intensity_prototypes(
                 (float(scores[i]), intensity[i, :t, :])
             )
 
+    bank = _bank_from_storage(storage, n_spk, n_emo, bucket_size)
+    return (bank, storage) if return_storage else bank
+
+
+def spread_significance(
+    storage,
+    n_spk: int,
+    n_emo: int,
+    bucket_size: int,
+    n_perm: int = 20,
+    seed: int = 0,
+) -> Dict:
+    """Observed level-prototype spread vs its random-bucketing null.
+
+    The absolute spread number is scale-dependent (few utterances per cell
+    ⇒ large incidental spread even with a random sort), so the usable-axis
+    question is whether sorting by rank score separates levels MORE than a
+    random utterance order does.  Returns the observed spread, the null
+    mean/p95 over ``n_perm`` permutations, and their ratio."""
+    from emotts.eval.intensity_eval import prototype_spread
+
+    observed = prototype_spread(
+        _bank_from_storage(storage, n_spk, n_emo, bucket_size)
+    )
+    rng = np.random.default_rng(seed)
+    null = []
+    for _ in range(n_perm):
+        sp = prototype_spread(
+            _bank_from_storage(storage, n_spk, n_emo, bucket_size, order=rng)
+        )
+        if sp is not None:
+            null.append(sp["mean_pairwise_over_norm"])
+    out = {
+        "observed": None if observed is None
+        else observed["mean_pairwise_over_norm"],
+        "null_mean": round(float(np.mean(null)), 5) if null else None,
+        "null_p95": round(float(np.percentile(null, 95)), 5) if null else None,
+        "n_perm": n_perm,
+    }
+    if out["observed"] is not None and out["null_mean"]:
+        out["ratio_over_null_mean"] = round(out["observed"] / out["null_mean"], 4)
+    return out
+
+
+def _bank_from_storage(
+    storage: Dict[Tuple[int, int], List[Tuple[float, np.ndarray]]],
+    n_spk: int,
+    n_emo: int,
+    bucket_size: int,
+    order: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Prototype bank from per-cell (score, frames) entries.  Default order
+    is the reference's sort-by-rank-score; passing a Generator instead
+    shuffles the utterances — the permutation NULL used to judge whether the
+    sorted bank's level spread exceeds what random bucketing produces."""
     prototypes = np.zeros((n_spk, n_emo, bucket_size, n_emo), dtype=np.float32)
     for (si, ei), entries in storage.items():
-        entries.sort(key=lambda x: x[0])
+        if order is None:
+            entries = sorted(entries, key=lambda x: x[0])
+        else:
+            entries = [entries[i] for i in order.permutation(len(entries))]
         all_feats = np.concatenate([fr for _, fr in entries], axis=0)
         for bi, idxs in enumerate(np.array_split(np.arange(len(all_feats)), bucket_size)):
             if len(idxs):
@@ -113,7 +172,18 @@ def bucketize(cfg: Config, exp_path: Optional[str] = None, mesh=None) -> str:
     model = build_rank_model(cfg, dtype=jnp.float32)
     template = init_rank_params(cfg, model, 0)
     params = load_best_params(exp_path, template)
-    prototypes = compute_intensity_prototypes(cfg, params, mesh=mesh)
+    prototypes, storage = compute_intensity_prototypes(
+        cfg, params, mesh=mesh, return_storage=True
+    )
     out_path = os.path.join(exp_path, "intensity.npy")
     np.save(out_path, prototypes)
+    # sidecar: is the sorted bank's level spread more than random bucketing
+    # produces?  Consumed by the intensity-efficacy eval's verdict gate.
+    import json
+
+    meta = spread_significance(
+        storage, cfg.n_speakers, cfg.n_emotions, cfg.inference.bucket_size
+    )
+    with open(os.path.join(exp_path, "intensity_meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
     return out_path

@@ -9,6 +9,7 @@ hermetically (SURVEY.md §4's test strategy).
 
 from __future__ import annotations
 
+import json
 from pathlib import Path
 from typing import List
 
@@ -53,11 +54,15 @@ def make_corpus(
     With ``graded_emotions=True`` every non-neutral utterance carries its
     emotion's :data:`_SIGNATURES` recipe at a random strength, giving the
     rank model a real intensity gradient (emotion index 0 is treated as
-    neutral, matching the pipeline's convention)."""
+    neutral, matching the pipeline's convention).  The per-utterance ground
+    -truth strengths are recorded to ``<root>/strengths.json`` keyed
+    ``"<speaker>/<emotion>_<id>"`` so tests and the convergence campaign can
+    verify the axis is measurable."""
     rng = np.random.default_rng(seed)
     root_p = Path(root)
     corpus = root_p / "corpus"
     aligned = root_p / "aligned"
+    strengths = {}
 
     for speaker in speakers:
         (corpus / speaker).mkdir(parents=True, exist_ok=True)
@@ -101,12 +106,15 @@ def make_corpus(
                 ).astype(np.float32)
                 y += 0.003 * rng.standard_normal(len(y)).astype(np.float32)
                 if sig is not None:
-                    # AM + added harmonic can push |y| past 1; rescale instead
-                    # of letting write_wav clip (clipping would add its own
-                    # s-dependent distortion outside the designed signature)
+                    # AM + added harmonic can push |y| past 1; normalize ALL
+                    # graded utterances to a common peak (not just clipping
+                    # ones) so gain treatment is uniform across the strength
+                    # range — a conditional rescale would put an s-dependent
+                    # kink in the intensity-energy gradient near threshold
                     peak = float(np.abs(y).max())
-                    if peak > 0.9:
+                    if peak > 0:
                         y *= np.float32(0.9 / peak)
+                    strengths[f"{speaker}/{emotion}_{audio_id}"] = s
 
                 stem = corpus / speaker / f"{emotion}_{audio_id}"
                 write_wav(str(stem) + ".wav", y, sr)
@@ -127,6 +135,9 @@ def make_corpus(
                     intervals,
                     xmax,
                 )
+
+    if graded_emotions:
+        (root_p / "strengths.json").write_text(json.dumps(strengths, indent=1))
 
     cfg = Config()
     cfg.data.data_path = str(root_p / "raw")

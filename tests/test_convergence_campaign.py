@@ -1,0 +1,102 @@
+"""Hermetic smoke test for the convergence campaign orchestration.
+
+benchmarks/convergence_run.py is the script that produces the repo's
+trained-quality evidence on the real chip; orchestration bugs that only
+surface mid-campaign have already cost one on-chip run (the
+VocoderTrainer.fit cumulative-target bug, BENCH_NOTES).  This test runs the
+ENTIRE campaign — corpus → rank (+ strength correlation) → bucketize → FS2
+stages with per-stage eval + intensity eval → vocoder stages → final
+vocoded eval + intensity eval — in --tiny mode on CPU and asserts the
+summary-JSON schema, so the plumbing can never again break silently between
+on-chip runs.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+_INT_KEYS = {
+    "verdict", "prototype_spread", "monotonic_fraction_strict",
+    "pairwise_order_accuracy", "monotonic_fraction_cell_mean",
+    "emotion_silhouette_h", "feature_path",
+}
+
+
+def test_tiny_campaign_end_to_end(tmp_path):
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+    )
+    root = tmp_path / "conv"
+    # leave a stale partial behind to verify the final write cleans it up
+    root.mkdir()
+    (root / "convergence_summary.partial.json").write_text("{}")
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "benchmarks" / "convergence_run.py"),
+            "--tiny",
+            "--root", str(root),
+            "--speakers", "2",
+            "--utts-per-emotion", "4",
+            "--rank-steps", "6",
+            "--fs2-stages", "4,4",
+            "--voc-stages", "4",
+            "--eval-max-batches", "1",
+            "--eval-f0-utts", "1",
+            "--intensity-texts", "hello world",
+        ],
+        cwd=str(REPO),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1500,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+
+    summary = json.loads((root / "convergence_summary.json").read_text())
+    # provenance: graded emotions are the DEFAULT corpus mode
+    assert summary["corpus"]["graded_emotions"] is True
+    assert summary["corpus"]["speakers"] == 2
+
+    # rank model evidence: validation-loss series + ground-truth strength
+    # correlation (strengths.json exists because the corpus is graded)
+    assert len(summary["rank_valid_loss"]) >= 1
+    corr = summary["rank_strength_spearman"]
+    assert corr["n_utts"] == 2 * 4 * (4 - 2)  # spk × emo≠neutral × train
+    assert corr["mean_spearman"] is None or -1 <= corr["mean_spearman"] <= 1
+
+    # per-FS2-stage eval + intensity series
+    assert len(summary["stages"]) == 2
+    for k, row in enumerate(summary["stages"]):
+        assert row["stage"] == k
+        assert row["fs2_steps_total"] == 4 * (k + 1)
+        assert any("mcd" in key for key in row), sorted(row)
+        intensity = row["intensity"]
+        assert _INT_KEYS <= set(intensity)
+        assert intensity["verdict"] in ("measured", "no-intensity-axis")
+        assert intensity["feature_path"].startswith("mel_only")
+
+    # vocoder stage series + final vocoded eval and intensity eval
+    assert len(summary["vocoder"]) == 1
+    assert summary["vocoder"][0]["steps_total"] == 4
+    assert "final_with_vocoder" in summary
+    assert _INT_KEYS <= set(summary["final_intensity"])
+    assert summary["final_intensity"]["feature_path"] == "vocoded_audio"
+    assert "walls_s" in summary
+
+    # per-stage artifacts on disk; stale partial removed by the final write
+    assert (root / "eval_stage0.json").exists()
+    assert (root / "intensity_stage0.json").exists()
+    assert (root / "intensity_final_vocoded.json").exists()
+    assert not (root / "convergence_summary.partial.json").exists()
+
+    # the intensity reports carry the spread-significance sidecar data
+    rep = json.loads((root / "intensity_stage0.json").read_text())
+    assert "prototype_spread_significance" in rep
+    assert rep["prototype_spread_significance"] is not None

@@ -210,3 +210,45 @@ def test_batched_greedy_decode_ensemble_matches_numpy(model):
         np_out = ng.np_ensemble_greedy_decode(members, ng.encode_word(w),
                                               heads)
         assert ng.decode_phoneme_ids(row) == ng.decode_phoneme_ids(np_out), w
+
+
+def test_resume_checkpoint_fingerprint(tmp_path):
+    """A resume checkpoint written under one hyperparameter set must be
+    refused — with a clear message — by a run with different flags, instead
+    of crashing deep in unflatten or silently desyncing the LR/dropout
+    streams (tools/train_g2p.py::_run_fingerprint)."""
+    import argparse
+
+    import jax.numpy as jnp
+    from train_g2p import _load_resume, _run_fingerprint, _save_resume
+
+    def args(**over):
+        base = dict(d_model=32, d_ff=64, layers=1, heads=2, batch=8,
+                    epochs=4, lr=1e-3, dropout=0.1, label_smoothing=0.0,
+                    swa_frac=0.0, holdout=0.1, seed=0, init_seed=None)
+        base.update(over)
+        return argparse.Namespace(**base)
+
+    params = {"w": jnp.ones((2, 3))}
+    opt_state = {"m": jnp.zeros((2, 3))}
+    path = tmp_path / "g2p.resume.npz"
+    fp = _run_fingerprint(args())
+    _save_resume(path, params, opt_state, None, 2, 10, 0, fingerprint=fp)
+
+    # same flags: loads and restores counters bitwise
+    p2, o2, swa, epoch, it, swa_n = _load_resume(
+        path, params, opt_state, params, fingerprint=fp)
+    assert (epoch, it, swa_n) == (2, 10, 0)
+    assert np.array_equal(np.asarray(p2["w"]), np.ones((2, 3)))
+
+    # changed model dims OR batch: refused with an explanatory error
+    for changed in (args(d_model=64), args(batch=16), args(epochs=8)):
+        with pytest.raises(SystemExit, match="REFUSING"):
+            _load_resume(path, params, opt_state, params,
+                         fingerprint=_run_fingerprint(changed))
+
+    # legacy checkpoint without a fingerprint still loads (best effort)
+    _save_resume(path, params, opt_state, None, 1, 5, 0)
+    out = _load_resume(path, params, opt_state, params,
+                       fingerprint=_run_fingerprint(args(d_model=64)))
+    assert out[3] == 1

@@ -129,7 +129,23 @@ def vectorize(pairs):
 # ---------------------------------------------------------------------------
 
 
-def _save_resume(path, params, opt_state, swa_sum, epoch_done, it, swa_n):
+def _run_fingerprint(args) -> str:
+    """Hyperparameters the resume format/semantics depend on: model dims
+    rebuild the tree structure; batch/epochs/lr/seeds position the restored
+    step inside the LR schedule and the pre-split dropout-key stream; the
+    data flags pin the split the optimizer state was trained on."""
+    import json
+
+    return json.dumps({
+        k: getattr(args, k)
+        for k in ("d_model", "d_ff", "layers", "heads", "batch", "epochs",
+                  "lr", "dropout", "label_smoothing", "swa_frac", "holdout",
+                  "seed", "init_seed")
+    }, sort_keys=True)
+
+
+def _save_resume(path, params, opt_state, swa_sum, epoch_done, it, swa_n,
+                 fingerprint: str = ""):
     """Persist the full training state (params + optimizer + SWA accumulator)
     so a killed run restarts at the last finished epoch instead of from
     scratch.  Tree STRUCTURE is not serialized — it is rebuilt from
@@ -139,6 +155,7 @@ def _save_resume(path, params, opt_state, swa_sum, epoch_done, it, swa_n):
 
     leaves = jax.tree.flatten((params, opt_state))[0]
     out = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
+    out["__fingerprint__"] = np.array(fingerprint)
     if swa_sum is not None:
         for i, v in enumerate(jax.tree.flatten(swa_sum)[0]):
             out[f"swa_{i}"] = np.asarray(v)
@@ -151,12 +168,27 @@ def _save_resume(path, params, opt_state, swa_sum, epoch_done, it, swa_n):
     print(f"[resume] checkpoint @ epoch {epoch_done} -> {path}", flush=True)
 
 
-def _load_resume(path, params, opt_state, swa_template):
-    """Inverse of :func:`_save_resume`; templates provide the tree defs."""
+def _load_resume(path, params, opt_state, swa_template, fingerprint: str = ""):
+    """Inverse of :func:`_save_resume`; templates provide the tree defs.
+
+    Refuses a checkpoint whose hyperparameter fingerprint differs from the
+    current run's — a silent mismatch would either crash deep inside
+    unflatten with an opaque leaf-shape error (model dims) or desync the LR
+    schedule / dropout-key stream against the restored optimizer counter
+    (batch/epochs/seeds)."""
     import jax
     import jax.numpy as jnp
 
     data = np.load(path)
+    saved_fp = (str(data["__fingerprint__"])
+                if "__fingerprint__" in data.files else None)
+    if fingerprint and saved_fp and saved_fp != fingerprint:
+        raise SystemExit(
+            f"[resume] REFUSING {path}: it was written by a run with "
+            f"different hyperparameters.\n  checkpoint: {saved_fp}\n"
+            f"  this run:  {fingerprint}\n"
+            "Delete the stale checkpoint or rerun with matching flags."
+        )
     leaves, treedef = jax.tree.flatten((params, opt_state))
     new_leaves = [jnp.asarray(data[f"leaf_{i}"]).astype(l.dtype)
                   if hasattr(l, "dtype") else type(l)(data[f"leaf_{i}"])
@@ -245,7 +277,8 @@ def train(args):
         src = Path(args.resume_from) if args.resume_from else resume_path
         swa_template = {k: v.astype(jnp.float32) for k, v in params.items()}
         params, opt_state, swa_sum, start_epoch, it, swa_n = _load_resume(
-            src, params, opt_state, swa_template)
+            src, params, opt_state, swa_template,
+            fingerprint=_run_fingerprint(args))
         # replay the host-side permutation stream so batch order continues
         # exactly where the killed run left off (keys are index-sliced)
         for _ in range(start_epoch):
@@ -273,7 +306,8 @@ def train(args):
         if args.checkpoint_every and (epoch + 1) % args.checkpoint_every == 0 \
                 and epoch + 1 < args.epochs:
             _save_resume(resume_path, params, opt_state, swa_sum,
-                         epoch + 1, it, swa_n)
+                         epoch + 1, it, swa_n,
+                         fingerprint=_run_fingerprint(args))
 
     np_params = {k: np.asarray(v, np.float32) for k, v in params.items()}
     swa_params = None
