@@ -324,6 +324,14 @@ def main() -> int:
     summary["final_intensity"] = intensity_eval(fs2_exp, "final_vocoded")
     print(f"[conv] final intensity efficacy: "
           + json.dumps(summary["final_intensity"]), flush=True)
+    # the visual counterpart of the reference's assets/intensities.png:
+    # score-vs-level sweep per (speaker, emotion) through vocoded audio
+    from emotts.utils.plotting import plot_intensity_sweep
+
+    plot_intensity_sweep(
+        json.loads((root / "intensity_final_vocoded.json").read_text()),
+        str(root / "intensity_final_vocoded.png"),
+    )
     summary["walls_s"] = {k: round(v, 1) for k, v in walls.items()}
     (root / "convergence_summary.json").write_text(
         json.dumps(summary, indent=2)

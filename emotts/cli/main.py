@@ -123,6 +123,10 @@ def _parse(argv):
                         help="(eval-intensity) exaggerate level prototypes "
                         "around their per-cell mean (diagnostic; 1.0 = the "
                         "production bank)")
+    parser.add_argument("--plot", default=None, metavar="PNG",
+                        help="(eval-intensity) also render the score-vs-"
+                        "level sweep figure (the measurable counterpart of "
+                        "the reference's assets/intensities.png)")
     parser.add_argument("--stream", action="store_true",
                         help="(synthesize --text-file) streaming mode: vocode "
                         "in chunks and report time-to-first-audio")
@@ -409,6 +413,11 @@ def main(argv=None) -> int:
         report = evaluate_intensity_efficacy(
             cfg, texts=texts, contrast=args.contrast
         )
+        if args.plot:
+            from emotts.utils.plotting import plot_intensity_sweep
+
+            plot_intensity_sweep(report, args.plot)
+            print(f"[eval-intensity] sweep plot: {args.plot}")
         print(f"[eval-intensity] {report['n_synthesized']} synthesized "
               f"({report['feature_path']}, contrast {args.contrast:g})")
         for k in ("monotonic_fraction_strict", "pairwise_order_accuracy",

@@ -162,5 +162,58 @@ def plot_features(
     plt.close(fig)
 
 
+def plot_intensity_sweep(report: dict, save_path: str) -> None:
+    """Rank score vs commanded intensity level, per (speaker, emotion) cell.
+
+    The measurable upgrade of the reference's headline result artifact
+    (readme.md:102-115 shows a t-SNE of the learned representations;
+    assets/intensities.png): here every line is one speaker x emotion cell
+    of the synthesized sweep from emotts/eval/intensity_eval.py, and a
+    monotonically rising line means the commanded level audibly moved the
+    synthesized audio along the learned intensity axis.  Non-monotone
+    cells are drawn dashed.
+
+    ``report`` is the intensity-efficacy report dict (or its saved JSON):
+    needs ``levels`` and ``by_cell[cell]["score_mean_per_level"]``.
+    """
+    plt = _plt()
+    levels = report.get("levels") or list(
+        range(len(next(iter(report["by_cell"].values()))["score_mean_per_level"]))
+    )
+    cells = report["by_cell"]
+    speakers = sorted({c.split("/")[0] for c in cells})
+    emotions = sorted({c.split("/")[1] for c in cells})
+    n = len(speakers)
+    fig, axes = plt.subplots(1, n, figsize=(3.2 * n, 3.4), sharey=True,
+                             squeeze=False)
+    for si, spk in enumerate(speakers):
+        ax = axes[0][si]
+        for ei, emo in enumerate(emotions):
+            cell = cells.get(f"{spk}/{emo}")
+            if cell is None:
+                continue
+            color = DEFAULT_COLORS[ei % len(DEFAULT_COLORS)]
+            style = "-" if cell.get("monotone_strict", True) else "--"
+            ax.plot(levels, cell["score_mean_per_level"], style,
+                    marker="o", markersize=4, color=color,
+                    label=emo if si == 0 else None)
+        ax.set_title(spk, fontsize=10)
+        ax.set_xlabel("intensity level")
+        ax.set_xticks(levels)
+        if si == 0:
+            ax.set_ylabel("rank score of synthesized audio")
+    handles, labels = axes[0][0].get_legend_handles_labels()
+    fig.legend(handles, labels, loc="upper center", ncol=len(labels),
+               frameon=False, bbox_to_anchor=(0.5, 1.02))
+    acc = report.get("pairwise_order_accuracy")
+    verdict = report.get("verdict", "")
+    sub = f"pairwise order accuracy {acc:.3f}" if acc is not None else ""
+    fig.suptitle(f"Intensity-control efficacy ({verdict}) — {sub}",
+                 y=1.12, fontsize=11)
+    fig.tight_layout()
+    fig.savefig(save_path, bbox_inches="tight", dpi=120)
+    plt.close(fig)
+
+
 DEFAULT_COLORS = ["#7C00FE", "#F9E400", "#FFAF00", "#F5004F", "#00B2A9"]
 DEFAULT_MARKERS = ["o", "^", "s", "d"]

@@ -216,3 +216,34 @@ def test_conditioning_contrast_amplification():
     assert np.allclose(rows - m, 5.0 * (bank[0, 1] - m), atol=1e-5)
     # neutral stays zeros at any contrast
     assert not ev._conditioning(0, 0, 1.0, 3, contrast=5.0).any()
+
+
+def test_plot_intensity_sweep(tmp_path):
+    """The sweep figure renders from a report dict (and from its JSON
+    round-trip) — the committed counterpart of the reference's
+    assets/intensities.png result artifact."""
+    import json
+
+    from emotts.utils.plotting import plot_intensity_sweep
+
+    report = {
+        "levels": [0.0, 1.0, 2.0],
+        "verdict": "measured",
+        "pairwise_order_accuracy": 0.917,
+        "by_cell": {
+            "spk_a/amused": {"score_mean_per_level": [0.1, 0.5, 0.9],
+                             "monotone_strict": True},
+            "spk_a/angry": {"score_mean_per_level": [-0.2, 0.4, 0.1],
+                            "monotone_strict": False},
+            "spk_b/amused": {"score_mean_per_level": [-1.0, 0.0, 2.0],
+                             "monotone_strict": True},
+        },
+    }
+    out = tmp_path / "sweep.png"
+    plot_intensity_sweep(report, str(out))
+    assert out.stat().st_size > 1000
+    # JSON round-trip (the saved eval report) renders identically
+    rt = json.loads(json.dumps(report))
+    out2 = tmp_path / "sweep2.png"
+    plot_intensity_sweep(rt, str(out2))
+    assert out2.stat().st_size > 1000
