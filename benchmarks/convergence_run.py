@@ -79,6 +79,12 @@ def main() -> int:
     ap.add_argument("--tiny", action="store_true",
                     help="shrink every model to smoke-test the campaign "
                     "plumbing on CPU (numbers are meaningless)")
+    ap.add_argument("--final-only", action="store_true",
+                    help="resume a campaign that died in the final leg: "
+                    "reuse the trained rank/FS2/vocoder experiments and the "
+                    "stage rows from <root>/convergence_summary.partial.json "
+                    "and rerun ONLY the final vocoded eval + intensity "
+                    "efficacy + summary write")
     args = ap.parse_args()
 
     from synthetic_corpus import make_corpus
@@ -167,6 +173,24 @@ def main() -> int:
     cfg.train_fs2.validate_every_epochs = 5
     cfg.train_fs2.artifact_every_epochs = 20
 
+    if args.final_only:
+        partial = root / "convergence_summary.partial.json"
+        if partial.exists():
+            summary.update(json.loads(partial.read_text()))
+        summary["resumed_final_only"] = True
+        exp_root = root / "experiments"
+        rank_exp = _latest_exp(exp_root / "rank_model")
+        fs2_exp = _latest_exp(exp_root / "fastspeech2")
+        voc_exp = _latest_exp(exp_root / "vocoder")
+        cfg.inference.rank_exp = Path(rank_exp).name
+        cfg.inference.fs2_exp = Path(fs2_exp).name
+        print(f"[conv] --final-only: rank={rank_exp} fs2={fs2_exp} "
+              f"voc={voc_exp}", flush=True)
+        intensity_texts = [t for t in args.intensity_texts.split("|")
+                           if t.strip()]
+        return _finalize(args, cfg, root, walls, summary, rank_exp,
+                         fs2_exp, voc_exp, intensity_texts)
+
     # ---- rank model ---------------------------------------------------
     t0 = time.time()
     rank_trainer = RankTrainer(cfg)
@@ -209,24 +233,11 @@ def main() -> int:
               + json.dumps(summary["rank_strength_spearman"]), flush=True)
 
     # ---- FS2 in stages, evaluating after each -------------------------
-    from emotts.eval.intensity_eval import evaluate_intensity_efficacy
-
     intensity_texts = [t for t in args.intensity_texts.split("|") if t.strip()]
-    _INT_KEYS = ("verdict", "prototype_spread",
-                 "monotonic_fraction_strict", "monotonic_fraction_strict_ci95",
-                 "pairwise_order_accuracy", "pairwise_order_accuracy_ci95",
-                 "monotonic_fraction_cell_mean", "emotion_silhouette_h")
 
     def intensity_eval(fs2_exp, tag):
-        t0 = time.time()
-        rep = evaluate_intensity_efficacy(
-            cfg, fs2_exp=fs2_exp, rank_exp=rank_exp, texts=intensity_texts,
-            out_path=str(root / f"intensity_{tag}.json"),
-        )
-        walls[f"intensity_{tag}"] = time.time() - t0
-        row = {k: rep.get(k) for k in _INT_KEYS}
-        row["feature_path"] = rep["feature_path"]
-        return row
+        return _intensity_eval(cfg, root, walls, rank_exp, intensity_texts,
+                               fs2_exp, tag)
 
     fs2_stages = [int(s) for s in args.fs2_stages.split(",") if s]
     fs2_trainer = FS2Trainer(cfg, ext_params)
@@ -302,12 +313,52 @@ def main() -> int:
             json.dumps(summary, indent=2)
         )
 
-    # ---- final eval with the trained vocoder (F0 metrics) -------------
+    return _finalize(args, cfg, root, walls, summary, rank_exp, fs2_exp,
+                     voc_exp, intensity_texts)
+
+
+_INT_KEYS = ("verdict", "prototype_spread",
+             "monotonic_fraction_strict", "monotonic_fraction_strict_ci95",
+             "pairwise_order_accuracy", "pairwise_order_accuracy_ci95",
+             "monotonic_fraction_cell_mean", "emotion_silhouette_h")
+
+
+def _intensity_eval(cfg, root, walls, rank_exp, intensity_texts, fs2_exp, tag):
+    from emotts.eval.intensity_eval import evaluate_intensity_efficacy
+
+    t0 = time.time()
+    rep = evaluate_intensity_efficacy(
+        cfg, fs2_exp=fs2_exp, rank_exp=rank_exp, texts=intensity_texts,
+        out_path=str(root / f"intensity_{tag}.json"),
+    )
+    walls[f"intensity_{tag}"] = time.time() - t0
+    row = {k: rep.get(k) for k in _INT_KEYS}
+    row["feature_path"] = rep["feature_path"]
+    return row
+
+
+def _latest_exp(base: Path) -> str:
+    """Highest-numbered exp_N under base (the campaign's own runs)."""
+    exps = sorted((p for p in base.glob("exp_*") if p.is_dir()),
+                  key=lambda p: int(p.name.split("_")[1]))
+    if not exps:
+        raise SystemExit(f"--final-only: no experiments under {base}")
+    return str(exps[-1])
+
+
+def _finalize(args, cfg, root, walls, summary, rank_exp, fs2_exp, voc_exp,
+              intensity_texts):
+    """Final leg: eval through the trained vocoder + vocoded intensity
+    efficacy + summary write.  Shared by the straight-through run and
+    --final-only resume."""
+    import time as _time
+
+    from emotts.eval.evaluate import Evaluator
     from emotts.infer.synthesize import load_vocoder_checkpoint
 
     voc_params = load_vocoder_checkpoint(str(Path(voc_exp) / "vocoder.npz"),
                                          cfg)
-    t0 = time.time()
+    t0 = _time.time()
     ev = Evaluator(cfg, fs2_exp=fs2_exp, rank_exp=rank_exp,
                    vocoder_params=voc_params)
     report = ev.run(
@@ -315,13 +366,15 @@ def main() -> int:
         out_path=str(root / "eval_final_with_vocoder.json"),
         f0_max_utts=args.eval_f0_utts,
     )
-    walls["eval_final"] = time.time() - t0
+    walls["eval_final"] = _time.time() - t0
     summary["final_with_vocoder"] = report["overall"]
     summary["final_with_vocoder_ci95"] = report["overall_ci95"]
     # intensity efficacy through REAL vocoded audio (mel+pitch+energy
     # re-extracted from the synthesized waveforms)
     cfg.inference.vocoder_checkpoint = str(Path(voc_exp) / "vocoder.npz")
-    summary["final_intensity"] = intensity_eval(fs2_exp, "final_vocoded")
+    summary["final_intensity"] = _intensity_eval(
+        cfg, root, walls, rank_exp, intensity_texts, fs2_exp, "final_vocoded"
+    )
     print(f"[conv] final intensity efficacy: "
           + json.dumps(summary["final_intensity"]), flush=True)
     # the visual counterpart of the reference's assets/intensities.png:

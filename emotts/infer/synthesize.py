@@ -326,15 +326,36 @@ class Synthesizer:
             window=window,
         )
 
-    def vocode(self, mel) -> np.ndarray:
+    def vocode(self, mel, row_frame_budget: Optional[int] = None):
         """mel (B, T, n_mels) → int16 PCM device array (B, T·hop).
 
         Returns 16-bit PCM (the wav-file sample format) so the host
         transfer is half the size of float32; divide by 32767 for float
-        waveforms (``intensity_sweep`` does this for its return dict)."""
+        waveforms (``intensity_sweep`` does this for its return dict).
+
+        Batches whose rows × frames exceed ``inference.vocode_row_frames``
+        are split into equal row-chunks of one compiled shape (the fp32
+        generator's upsample intermediates scale with rows × samples and
+        a single oversized dispatch can exceed chip HBM — see the config
+        field's measured numbers)."""
         if self._voc_fn is None:
             raise RuntimeError("no vocoder params loaded")
-        return self._voc_fn(self.vocoder_params, mel)
+        budget = (self.cfg.inference.vocode_row_frames
+                  if row_frame_budget is None else row_frame_budget)
+        b, t = int(mel.shape[0]), int(mel.shape[1])
+        if budget <= 0 or b * t <= budget:
+            return self._voc_fn(self.vocoder_params, mel)
+        n_chunks = -(-(b * t) // budget)
+        k = -(-b // n_chunks)  # equal chunks: no oversized pad waste
+        outs = []
+        for s in range(0, b, k):
+            chunk = mel[s : s + k]
+            pad = k - int(chunk.shape[0])
+            if pad:  # keep ONE dispatch shape so the program compiles once
+                chunk = jnp.pad(chunk, ((0, pad), (0, 0), (0, 0)))
+            pcm = self._voc_fn(self.vocoder_params, chunk)
+            outs.append(pcm[: k - pad] if pad else pcm)
+        return jnp.concatenate(outs, axis=0)
 
     def intensity_sweep(
         self, text: str, out_dir: Optional[str] = None

@@ -302,6 +302,14 @@ class InferenceConfig:
     # beam width for the neural OOV decode (1 = greedy; >1 pays ~beam x the
     # one-time per-novel-word decode cost — memoized thereafter)
     neural_g2p_beam: int = 1
+    # vocoder-inference HBM budget as batch-rows x mel-frames per dispatch:
+    # the fp32 HiFi-GAN upsample intermediates scale with rows x frames
+    # (~0.9 MB per row-frame on v5e incl. layout padding — a 52-row x
+    # 512-frame batch compiled to a 23.25G program and OOM'd the 15.75G
+    # chip, while 60 x 256 fits).  Batches above the budget are vocoded in
+    # equal row-chunks of ONE compiled shape (last chunk zero-padded).
+    # 0 disables chunking.
+    vocode_row_frames: int = 16384
     output_path: str = "demo"
 
 

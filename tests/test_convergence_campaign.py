@@ -100,3 +100,59 @@ def test_tiny_campaign_end_to_end(tmp_path):
     rep = json.loads((root / "intensity_stage0.json").read_text())
     assert "prototype_spread_significance" in rep
     assert rep["prototype_spread_significance"] is not None
+
+
+def test_tiny_campaign_final_only_resume(tmp_path):
+    """--final-only reruns JUST the final leg from a completed root —
+    the recovery path for a campaign that dies in its last step (the
+    round-4 on-chip run OOM'd exactly there, in the pre-chunking vocode)."""
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+    )
+    root = tmp_path / "conv"
+    base_args = [
+        sys.executable, str(REPO / "benchmarks" / "convergence_run.py"),
+        "--tiny",
+        "--root", str(root),
+        "--speakers", "2",
+        "--utts-per-emotion", "4",
+        "--rank-steps", "4",
+        "--fs2-stages", "4",
+        "--voc-stages", "4",
+        "--eval-max-batches", "1",
+        "--eval-f0-utts", "1",
+        "--intensity-texts", "hello world",
+    ]
+    proc = subprocess.run(base_args, cwd=str(REPO), env=env,
+                          capture_output=True, text=True, timeout=1500)
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    full = json.loads((root / "convergence_summary.json").read_text())
+
+    # simulate the death-in-final-leg state: keep experiments + partial,
+    # drop the final artifacts
+    (root / "convergence_summary.json").unlink()
+    (root / "intensity_final_vocoded.json").unlink()
+    partial = dict(full)
+    for key in ("final_with_vocoder", "final_with_vocoder_ci95",
+                "final_intensity", "walls_s"):
+        partial.pop(key, None)
+    (root / "convergence_summary.partial.json").write_text(
+        json.dumps(partial))
+
+    proc = subprocess.run(base_args + ["--final-only"], cwd=str(REPO),
+                          env=env, capture_output=True, text=True,
+                          timeout=1500)
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    resumed = json.loads((root / "convergence_summary.json").read_text())
+    assert resumed["resumed_final_only"] is True
+    # stage rows carried over from the partial; final leg re-measured
+    assert resumed["stages"] == full["stages"]
+    assert resumed["rank_valid_loss"] == full["rank_valid_loss"]
+    assert _INT_KEYS <= set(resumed["final_intensity"])
+    assert resumed["final_intensity"]["feature_path"] == "vocoded_audio"
+    assert (root / "intensity_final_vocoded.json").exists()
+    assert (root / "intensity_final_vocoded.png").exists()
+    assert not (root / "convergence_summary.partial.json").exists()

@@ -471,3 +471,29 @@ def test_invalid_phoneme_request_rejected(synth):
     with pytest.raises(ValueError, match="non-ARPABET"):
         s.synthesize_requests(
             [{"phonemes": "HH AH0 QQ", "speaker": 0, "emotion": 0}])
+
+
+def test_vocode_chunking_matches_single_dispatch(synth):
+    """Oversized batches are vocoded in equal row-chunks of one compiled
+    shape (inference.vocode_row_frames) with bit-identical PCM — the fix
+    for the round-4 campaign OOM (a 52x512-frame single dispatch compiled
+    to a 23.25G program on a 15.75G chip)."""
+    cfg, s = synth
+    rng = np.random.default_rng(7)
+    mel = rng.standard_normal((7, 24, cfg.audio.n_mels)).astype(np.float32)
+
+    whole = np.asarray(jax.device_get(s.vocode(mel, row_frame_budget=0)))
+    # budget forces ceil(7*24/60)=3 chunks of ceil(7/3)=3 rows (last padded)
+    chunked = np.asarray(jax.device_get(s.vocode(mel, row_frame_budget=60)))
+    assert chunked.shape == whole.shape
+    np.testing.assert_array_equal(chunked, whole)
+
+    # config default drives the same path
+    cfg.inference.vocode_row_frames = 60
+    via_cfg = np.asarray(jax.device_get(s.vocode(mel)))
+    np.testing.assert_array_equal(via_cfg, whole)
+    cfg.inference.vocode_row_frames = 16384
+
+    # a batch under the budget stays a single dispatch (shape preserved)
+    small = np.asarray(jax.device_get(s.vocode(mel[:2])))
+    np.testing.assert_array_equal(small, whole[:2])
