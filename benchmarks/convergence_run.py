@@ -79,6 +79,15 @@ def main() -> int:
     ap.add_argument("--tiny", action="store_true",
                     help="shrink every model to smoke-test the campaign "
                     "plumbing on CPU (numbers are meaningless)")
+    ap.add_argument("--contrast-ab", default=None, metavar="C,C,...",
+                    help="reuse a completed campaign's experiments under "
+                    "--root and rerun ONLY the through-vocoder intensity "
+                    "eval at each conditioning-contrast value (prototypes "
+                    "exaggerated as m + c*(p - m)); writes "
+                    "intensity_contrast_<c>.json per value plus "
+                    "contrast_ab.json — measures how much the continuous "
+                    "intensity-scale lever widens the synthesized level "
+                    "separation")
     ap.add_argument("--final-only", action="store_true",
                     help="resume a campaign that died in the final leg: "
                     "reuse the trained rank/FS2/vocoder experiments and the "
@@ -172,6 +181,29 @@ def main() -> int:
     cfg.train_rank.artifact_every_epochs = 200
     cfg.train_fs2.validate_every_epochs = 5
     cfg.train_fs2.artifact_every_epochs = 20
+
+    if args.contrast_ab:
+        exp_root = root / "experiments"
+        rank_exp = _latest_exp(exp_root / "rank_model")
+        fs2_exp = _latest_exp(exp_root / "fastspeech2")
+        voc_exp = _latest_exp(exp_root / "vocoder")
+        cfg.inference.rank_exp = Path(rank_exp).name
+        cfg.inference.fs2_exp = Path(fs2_exp).name
+        cfg.inference.vocoder_checkpoint = str(Path(voc_exp) / "vocoder.npz")
+        intensity_texts = [t for t in args.intensity_texts.split("|")
+                           if t.strip()]
+        ab = {"contrast": {}}
+        for c in [float(x) for x in args.contrast_ab.split(",")]:
+            tag = f"contrast_{c:g}"
+            row = _intensity_eval(cfg, root, walls, rank_exp,
+                                  intensity_texts, fs2_exp, tag, contrast=c)
+            ab["contrast"][f"{c:g}"] = row
+            print(f"[conv] contrast={c:g}: {json.dumps(row)}", flush=True)
+        ab["walls_s"] = {k: round(v, 1) for k, v in walls.items()}
+        (root / "contrast_ab.json").write_text(json.dumps(ab, indent=2))
+        print(f"[conv] contrast A/B written to {root / 'contrast_ab.json'}",
+              flush=True)
+        return 0
 
     if args.final_only:
         partial = root / "convergence_summary.partial.json"
@@ -323,13 +355,14 @@ _INT_KEYS = ("verdict", "prototype_spread",
              "monotonic_fraction_cell_mean", "emotion_silhouette_h")
 
 
-def _intensity_eval(cfg, root, walls, rank_exp, intensity_texts, fs2_exp, tag):
+def _intensity_eval(cfg, root, walls, rank_exp, intensity_texts, fs2_exp, tag,
+                    contrast=1.0):
     from emotts.eval.intensity_eval import evaluate_intensity_efficacy
 
     t0 = time.time()
     rep = evaluate_intensity_efficacy(
         cfg, fs2_exp=fs2_exp, rank_exp=rank_exp, texts=intensity_texts,
-        out_path=str(root / f"intensity_{tag}.json"),
+        out_path=str(root / f"intensity_{tag}.json"), contrast=contrast,
     )
     walls[f"intensity_{tag}"] = time.time() - t0
     row = {k: rep.get(k) for k in _INT_KEYS}

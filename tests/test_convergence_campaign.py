@@ -156,3 +156,18 @@ def test_tiny_campaign_final_only_resume(tmp_path):
     assert (root / "intensity_final_vocoded.json").exists()
     assert (root / "intensity_final_vocoded.png").exists()
     assert not (root / "convergence_summary.partial.json").exists()
+
+    # third leg: --contrast-ab reuses the same experiments and reruns only
+    # the vocoded intensity eval at each conditioning contrast
+    proc = subprocess.run(base_args + ["--contrast-ab", "1,2"],
+                          cwd=str(REPO), env=env, capture_output=True,
+                          text=True, timeout=1500)
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    ab = json.loads((root / "contrast_ab.json").read_text())
+    assert set(ab["contrast"]) == {"1", "2"}
+    for row in ab["contrast"].values():
+        assert _INT_KEYS <= set(row)
+        assert row["feature_path"] == "vocoded_audio"
+    assert (root / "intensity_contrast_2.json").exists()
+    rep = json.loads((root / "intensity_contrast_2.json").read_text())
+    assert rep["contrast"] == 2.0
