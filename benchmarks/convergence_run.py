@@ -120,7 +120,7 @@ def main() -> int:
     summary = {
         "corpus": {
             "speakers": args.speakers,
-            "emotions": 5,
+            "emotions": 5,  # overwritten from len(emotions) below
             "utts_per_emotion": args.utts_per_emotion,
             "graded_emotions": bool(args.graded_emotions),
         },
@@ -130,6 +130,25 @@ def main() -> int:
     t0 = time.time()
     speakers = tuple(f"spk_{chr(97 + i)}" for i in range(args.speakers))
     emotions = ("neutral", "amused", "angry", "sleepy", "disgust")
+    summary["corpus"]["emotions"] = len(emotions)
+    # corpus provenance guard: resume modes (--final-only/--contrast-ab)
+    # regenerate the corpus from the CURRENT flags, so a flag mismatch
+    # would silently overwrite features/stats under the trained models and
+    # evaluate them against a different corpus.  Refuse instead.
+    corpus_flags = {
+        "speakers": args.speakers,
+        "utts_per_emotion": args.utts_per_emotion,
+        "graded_emotions": bool(args.graded_emotions),
+        "tiny": bool(args.tiny),
+    }
+    flags_path = root / "campaign_args.json"
+    if (args.final_only or args.contrast_ab) and flags_path.exists():
+        recorded = json.loads(flags_path.read_text())
+        if recorded != corpus_flags:
+            raise SystemExit(
+                f"resume flags {corpus_flags} do not match the original "
+                f"campaign's {recorded} (from {flags_path}); rerun with "
+                "the original corpus flags or use a fresh --root")
     cfg = make_corpus(
         str(root), speakers=speakers, emotions=emotions,
         utts_per_emotion=args.utts_per_emotion,
@@ -138,6 +157,7 @@ def main() -> int:
     preprocess_all(cfg, verbose=False)
     build_rank_pair_lists(cfg)
     build_fs2_splits(cfg)
+    flags_path.write_text(json.dumps(corpus_flags, indent=2))
     walls["corpus+preprocess"] = time.time() - t0
     print(f"[conv] corpus ready ({walls['corpus+preprocess']:.0f}s)",
           flush=True)
@@ -375,7 +395,7 @@ def _latest_exp(base: Path) -> str:
     exps = sorted((p for p in base.glob("exp_*") if p.is_dir()),
                   key=lambda p: int(p.name.split("_")[1]))
     if not exps:
-        raise SystemExit(f"--final-only: no experiments under {base}")
+        raise SystemExit(f"campaign resume: no experiments under {base}")
     return str(exps[-1])
 
 

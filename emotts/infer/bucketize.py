@@ -103,6 +103,7 @@ def spread_significance(
     bucket_size: int,
     n_perm: int = 20,
     seed: int = 0,
+    bank: Optional[np.ndarray] = None,
 ) -> Dict:
     """Observed level-prototype spread vs its random-bucketing null.
 
@@ -115,6 +116,7 @@ def spread_significance(
 
     observed = prototype_spread(
         _bank_from_storage(storage, n_spk, n_emo, bucket_size)
+        if bank is None else bank  # caller may pass the bank it just built
     )
     rng = np.random.default_rng(seed)
     null = []
@@ -182,7 +184,8 @@ def bucketize(cfg: Config, exp_path: Optional[str] = None, mesh=None) -> str:
     import json
 
     meta = spread_significance(
-        storage, cfg.n_speakers, cfg.n_emotions, cfg.inference.bucket_size
+        storage, cfg.n_speakers, cfg.n_emotions, cfg.inference.bucket_size,
+        bank=prototypes,
     )
     with open(os.path.join(exp_path, "intensity_meta.json"), "w") as f:
         json.dump(meta, f, indent=2)

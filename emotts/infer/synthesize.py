@@ -345,8 +345,11 @@ class Synthesizer:
         b, t = int(mel.shape[0]), int(mel.shape[1])
         if budget <= 0 or b * t <= budget:
             return self._voc_fn(self.vocoder_params, mel)
-        n_chunks = -(-(b * t) // budget)
-        k = -(-b // n_chunks)  # equal chunks: no oversized pad waste
+        # rows per chunk such that every dispatch honors the budget; a
+        # single row longer than the budget dispatches alone (t is bounded
+        # by max_mel_len, well under any sane budget)
+        k = max(1, budget // t)
+        k = -(-b // (-(-b // k)))  # rebalance: equal chunks, no pad waste
         outs = []
         for s in range(0, b, k):
             chunk = mel[s : s + k]

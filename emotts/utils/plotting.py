@@ -177,15 +177,17 @@ def plot_intensity_sweep(report: dict, save_path: str) -> None:
     needs ``levels`` and ``by_cell[cell]["score_mean_per_level"]``.
     """
     plt = _plt()
+    first = next(iter(report["by_cell"].values()), None)
     levels = report.get("levels") or list(
-        range(len(next(iter(report["by_cell"].values()))["score_mean_per_level"]))
+        range(len(first["score_mean_per_level"]) if first else 0)
     )
     cells = report["by_cell"]
     speakers = sorted({c.split("/")[0] for c in cells})
     emotions = sorted({c.split("/")[1] for c in cells})
-    n = len(speakers)
+    n = max(1, len(speakers))
     fig, axes = plt.subplots(1, n, figsize=(3.2 * n, 3.4), sharey=True,
                              squeeze=False)
+    seen_labels: dict = {}  # emotion -> handle, across ALL panels
     for si, spk in enumerate(speakers):
         ax = axes[0][si]
         for ei, emo in enumerate(emotions):
@@ -194,17 +196,22 @@ def plot_intensity_sweep(report: dict, save_path: str) -> None:
                 continue
             color = DEFAULT_COLORS[ei % len(DEFAULT_COLORS)]
             style = "-" if cell.get("monotone_strict", True) else "--"
-            ax.plot(levels, cell["score_mean_per_level"], style,
-                    marker="o", markersize=4, color=color,
-                    label=emo if si == 0 else None)
+            # a degenerate combo (zero synthesized frames at some level)
+            # can leave fewer scores than configured levels — plot what
+            # survived instead of crashing the campaign's final leg
+            ys = cell["score_mean_per_level"]
+            (line,) = ax.plot(levels[: len(ys)], ys[: len(levels)], style,
+                              marker="o", markersize=4, color=color)
+            seen_labels.setdefault(emo, line)
         ax.set_title(spk, fontsize=10)
         ax.set_xlabel("intensity level")
         ax.set_xticks(levels)
         if si == 0:
             ax.set_ylabel("rank score of synthesized audio")
-    handles, labels = axes[0][0].get_legend_handles_labels()
-    fig.legend(handles, labels, loc="upper center", ncol=len(labels),
-               frameon=False, bbox_to_anchor=(0.5, 1.02))
+    if seen_labels:
+        fig.legend(seen_labels.values(), seen_labels.keys(),
+                   loc="upper center", ncol=len(seen_labels),
+                   frameon=False, bbox_to_anchor=(0.5, 1.02))
     acc = report.get("pairwise_order_accuracy")
     verdict = report.get("verdict", "")
     sub = f"pairwise order accuracy {acc:.3f}" if acc is not None else ""

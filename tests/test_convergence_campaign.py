@@ -102,6 +102,39 @@ def test_tiny_campaign_end_to_end(tmp_path):
     assert rep["prototype_spread_significance"] is not None
 
 
+def test_resume_refuses_mismatched_corpus_flags(tmp_path):
+    """--final-only/--contrast-ab regenerate the corpus from the CURRENT
+    flags; a mismatch with the original campaign would silently evaluate
+    the trained models against different features/stats.  The provenance
+    guard must refuse before touching anything."""
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+    )
+    root = tmp_path / "conv"
+    root.mkdir()
+    (root / "campaign_args.json").write_text(json.dumps({
+        "speakers": 2, "utts_per_emotion": 4,
+        "graded_emotions": True, "tiny": True,
+    }))
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "benchmarks" / "convergence_run.py"),
+            "--tiny", "--root", str(root),
+            "--speakers", "3", "--utts-per-emotion", "4",
+            "--contrast-ab", "1",
+        ],
+        cwd=str(REPO), env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode != 0
+    assert "do not match the original campaign" in (proc.stderr + proc.stdout)
+    # nothing was regenerated under the root
+    assert not (root / "corpus").exists()
+    assert not (root / "preprocessed").exists()
+
+
 def test_tiny_campaign_final_only_resume(tmp_path):
     """--final-only reruns JUST the final leg from a completed root —
     the recovery path for a campaign that dies in its last step (the

@@ -247,3 +247,35 @@ def test_plot_intensity_sweep(tmp_path):
     out2 = tmp_path / "sweep2.png"
     plot_intensity_sweep(rt, str(out2))
     assert out2.stat().st_size > 1000
+
+
+def test_plot_intensity_sweep_degenerate_reports(tmp_path):
+    """Ragged cells (a combo whose synthesis produced zero frames at some
+    level drops that level's score), emotions absent from the first
+    speaker, and an empty by_cell must all render without crashing — in
+    the campaign this plot runs AFTER the expensive final eval and before
+    the summary write, so a crash here loses the whole run's summary."""
+    from emotts.utils.plotting import plot_intensity_sweep
+
+    ragged = {
+        "levels": [0.0, 1.0, 2.0],
+        "verdict": "measured",
+        "pairwise_order_accuracy": 0.5,
+        "by_cell": {
+            # 2 of 3 levels survived synthesis
+            "spk_a/amused": {"score_mean_per_level": [0.1, 0.5],
+                             "monotone_strict": True},
+            # emotion present ONLY for the second speaker: must still
+            # appear in the legend
+            "spk_b/angry": {"score_mean_per_level": [0.0, 0.2, 0.4],
+                            "monotone_strict": True},
+        },
+    }
+    out = tmp_path / "ragged.png"
+    plot_intensity_sweep(ragged, str(out))
+    assert out.stat().st_size > 1000
+
+    empty = {"levels": [0.0], "verdict": "no-intensity-axis", "by_cell": {}}
+    out2 = tmp_path / "empty.png"
+    plot_intensity_sweep(empty, str(out2))
+    assert out2.exists()

@@ -483,10 +483,19 @@ def test_vocode_chunking_matches_single_dispatch(synth):
     mel = rng.standard_normal((7, 24, cfg.audio.n_mels)).astype(np.float32)
 
     whole = np.asarray(jax.device_get(s.vocode(mel, row_frame_budget=0)))
-    # budget forces ceil(7*24/60)=3 chunks of ceil(7/3)=3 rows (last padded)
-    chunked = np.asarray(jax.device_get(s.vocode(mel, row_frame_budget=60)))
+    # budget 60 at t=24 allows 2 rows/chunk (48 row-frames); every dispatch
+    # must honor the budget — ceil(b/n_chunks) alone overshot it (3x24=72)
+    seen = []
+    inner = s._voc_fn
+    s._voc_fn = lambda p, m: (seen.append(tuple(m.shape)), inner(p, m))[1]
+    try:
+        chunked = np.asarray(jax.device_get(s.vocode(mel, row_frame_budget=60)))
+    finally:
+        s._voc_fn = inner
     assert chunked.shape == whole.shape
     np.testing.assert_array_equal(chunked, whole)
+    assert len(set(seen)) == 1, seen  # one compiled shape
+    assert all(b_ * t_ <= 60 for (b_, t_, _) in seen), seen
 
     # config default drives the same path
     cfg.inference.vocode_row_frames = 60
@@ -497,3 +506,7 @@ def test_vocode_chunking_matches_single_dispatch(synth):
     # a batch under the budget stays a single dispatch (shape preserved)
     small = np.asarray(jax.device_get(s.vocode(mel[:2])))
     np.testing.assert_array_equal(small, whole[:2])
+
+    # a single row longer than the budget dispatches alone (never dropped)
+    lone = np.asarray(jax.device_get(s.vocode(mel[:3], row_frame_budget=10)))
+    np.testing.assert_array_equal(lone, whole[:3])
