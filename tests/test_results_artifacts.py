@@ -94,6 +94,26 @@ def test_final_intensity_report_significance():
     assert rep["n_synthesized"] == 156
 
 
+def test_contrast_ab_artifacts():
+    """The conditioning-contrast A/B quoted in README/BENCH_NOTES: c=1
+    reproduces the headline exactly (deterministic pipeline) and c=2 is
+    the measured best for ordering."""
+    ab = json.loads((RESULTS / "convergence_r4_contrast_ab.json").read_text())
+    rows = ab["contrast"]
+    assert set(rows) == {"0.5", "1", "1.5", "2"}
+    headline = json.loads((RESULTS / "convergence_r4.json").read_text())
+    fin = headline["final_intensity"]
+    assert rows["1"]["pairwise_order_accuracy"] == fin["pairwise_order_accuracy"]
+    assert rows["1"]["monotonic_fraction_strict"] == fin["monotonic_fraction_strict"]
+    assert round(rows["2"]["pairwise_order_accuracy"], 3) == 0.826
+    lo, _ = rows["2"]["pairwise_order_accuracy_ci95"]
+    assert lo > 0.5
+    # the measured trade-off: exaggeration costs naturalness
+    assert rows["2"]["emotion_silhouette_h"] < rows["1"]["emotion_silhouette_h"]
+    for name in rows:
+        assert (RESULTS / f"convergence_r4_intensity_contrast_{name}.json").exists()
+
+
 def test_final_eval_on_held_out_160():
     rep = json.loads((RESULTS / "convergence_r4_eval_final.json").read_text())
     assert rep["n_utterances"] == 160, "held-out n=160 closes the round-2 n=36 gap"
