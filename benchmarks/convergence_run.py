@@ -88,6 +88,15 @@ def main() -> int:
                     "contrast_ab.json — measures how much the continuous "
                     "intensity-scale lever widens the synthesized level "
                     "separation")
+    ap.add_argument("--voc-finetune-fs2", type=int, default=0, metavar="N",
+                    help="reuse a completed campaign's experiments under "
+                    "--root, fine-tune its vocoder for N MORE GAN steps "
+                    "conditioned on teacher-forced FS2-PREDICTED mels (the "
+                    "HiFi-GAN paper's TTS recipe — closes the analysis-mel/"
+                    "predicted-mel mismatch), then rerun the final vocoded "
+                    "eval + intensity eval; writes eval_final_ft.json, "
+                    "intensity_final_ft.json and finetune_fs2.json (before/"
+                    "after comparison)")
     ap.add_argument("--final-only", action="store_true",
                     help="resume a campaign that died in the final leg: "
                     "reuse the trained rank/FS2/vocoder experiments and the "
@@ -142,7 +151,8 @@ def main() -> int:
         "tiny": bool(args.tiny),
     }
     flags_path = root / "campaign_args.json"
-    if (args.final_only or args.contrast_ab) and flags_path.exists():
+    if ((args.final_only or args.contrast_ab or args.voc_finetune_fs2)
+            and flags_path.exists()):
         recorded = json.loads(flags_path.read_text())
         if recorded != corpus_flags:
             raise SystemExit(
@@ -201,6 +211,65 @@ def main() -> int:
     cfg.train_rank.artifact_every_epochs = 200
     cfg.train_fs2.validate_every_epochs = 5
     cfg.train_fs2.artifact_every_epochs = 20
+
+    if args.voc_finetune_fs2:
+        from emotts.train.vocoder_trainer import VocoderTrainer
+
+        exp_root = root / "experiments"
+        rank_exp = _latest_exp(exp_root / "rank_model")
+        fs2_exp = _latest_exp(exp_root / "fastspeech2")
+        voc_exp = _latest_exp(exp_root / "vocoder")
+        cfg.inference.rank_exp = Path(rank_exp).name
+        cfg.inference.fs2_exp = Path(fs2_exp).name
+        intensity_texts = [t for t in args.intensity_texts.split("|")
+                           if t.strip()]
+        # before: the straight-through campaign's final numbers (if present)
+        before = {}
+        prev = root / "convergence_summary.json"
+        if prev.exists():
+            s = json.loads(prev.read_text())
+            before = {"eval": s.get("final_with_vocoder"),
+                      "intensity": s.get("final_intensity")}
+        cfg.train_vocoder.condition = "fs2"
+        trainer = VocoderTrainer(cfg)
+        t0 = time.time()
+        trainer.restore(voc_exp)
+        start = int(np.asarray(trainer.gen_state.step))
+        target = start + args.voc_finetune_fs2
+        print(f"[conv] fs2-condition fine-tune: {voc_exp} step {start} -> "
+              f"{target}", flush=True)
+        trainer.fit(exp_path=voc_exp, resume=True, n_steps=target)
+        # fit() exports vocoder.npz into the exp dir at the end
+        walls["voc_finetune_fs2"] = time.time() - t0
+
+        from emotts.eval.evaluate import Evaluator
+        from emotts.infer.synthesize import load_vocoder_checkpoint
+
+        voc_params = load_vocoder_checkpoint(
+            str(Path(voc_exp) / "vocoder.npz"), cfg)
+        t0 = time.time()
+        ev = Evaluator(cfg, fs2_exp=fs2_exp, rank_exp=rank_exp,
+                       vocoder_params=voc_params)
+        report = ev.run(split="valid",
+                        out_path=str(root / "eval_final_ft.json"),
+                        f0_max_utts=args.eval_f0_utts)
+        walls["eval_final_ft"] = time.time() - t0
+        cfg.inference.vocoder_checkpoint = str(Path(voc_exp) / "vocoder.npz")
+        after_int = _intensity_eval(cfg, root, walls, rank_exp,
+                                    intensity_texts, fs2_exp, "final_ft")
+        out = {
+            "finetune_steps": args.voc_finetune_fs2,
+            "from_step": start, "to_step": target,
+            "before": before,
+            "after": {"eval": report["overall"],
+                      "eval_ci95": report["overall_ci95"],
+                      "intensity": after_int},
+            "walls_s": {k: round(v, 1) for k, v in walls.items()},
+        }
+        (root / "finetune_fs2.json").write_text(json.dumps(out, indent=2))
+        print("[conv] fs2 fine-tune summary: " + json.dumps(out["after"]),
+              flush=True)
+        return 0
 
     if args.contrast_ab:
         exp_root = root / "experiments"

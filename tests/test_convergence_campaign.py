@@ -204,3 +204,18 @@ def test_tiny_campaign_final_only_resume(tmp_path):
     assert (root / "intensity_contrast_2.json").exists()
     rep = json.loads((root / "intensity_contrast_2.json").read_text())
     assert rep["contrast"] == 2.0
+
+    # fourth leg: --voc-finetune-fs2 resumes the vocoder, fine-tunes on
+    # FS2-predicted mels, and re-measures the final vocoded metrics
+    proc = subprocess.run(base_args + ["--voc-finetune-fs2", "2"],
+                          cwd=str(REPO), env=env, capture_output=True,
+                          text=True, timeout=1500)
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    ft = json.loads((root / "finetune_fs2.json").read_text())
+    assert ft["finetune_steps"] == 2
+    assert ft["to_step"] == ft["from_step"] + 2
+    assert ft["before"]["eval"] is not None  # straight-through run existed
+    assert "mcd_teacher_forced" in ft["after"]["eval"]
+    assert _INT_KEYS <= set(ft["after"]["intensity"])
+    assert (root / "eval_final_ft.json").exists()
+    assert (root / "intensity_final_ft.json").exists()
