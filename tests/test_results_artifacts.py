@@ -114,6 +114,29 @@ def test_contrast_ab_artifacts():
         assert (RESULTS / f"convergence_r4_intensity_contrast_{name}.json").exists()
 
 
+def test_finetune_fs2_artifacts():
+    """The FS2-conditioned vocoder fine-tune leg quoted in README: the
+    TTS-recipe fine-tune lifts through-vocoder ordering at production
+    conditioning, and the composed lever (contrast 2) goes higher."""
+    ft = json.loads((RESULTS / "convergence_r4_finetune_fs2.json").read_text())
+    assert ft["finetune_steps"] == 1000
+    assert ft["to_step"] == ft["from_step"] + 1000
+    before = ft["before"]["intensity"]["pairwise_order_accuracy"]
+    after = ft["after"]["intensity"]["pairwise_order_accuracy"]
+    assert round(before, 3) == 0.722 and round(after, 3) == 0.875
+    lo, _ = ft["after"]["intensity"]["pairwise_order_accuracy_ci95"]
+    assert lo > 0.5
+    # composed: contrast 2 on the fine-tuned vocoder
+    ab = json.loads((RESULTS / "convergence_r4_contrast_ab_ft.json").read_text())
+    assert round(ab["contrast"]["2"]["pairwise_order_accuracy"], 3) == 0.931
+    # replication on 6 disjoint texts
+    rep = json.loads(
+        (RESULTS / "convergence_r4_intensity_replication_n96_ft.json").read_text())
+    assert rep["n_level_cells"] == 96 and rep["n_texts"] == 6
+    assert round(rep["pairwise_order_accuracy"], 3) == 0.878
+    assert rep["pairwise_order_accuracy_ci95"][0] > 0.5
+
+
 def test_final_eval_on_held_out_160():
     rep = json.loads((RESULTS / "convergence_r4_eval_final.json").read_text())
     assert rep["n_utterances"] == 160, "held-out n=160 closes the round-2 n=36 gap"
