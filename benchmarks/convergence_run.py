@@ -212,41 +212,60 @@ def main() -> int:
     cfg.train_fs2.validate_every_epochs = 5
     cfg.train_fs2.artifact_every_epochs = 20
 
-    if args.voc_finetune_fs2:
-        from emotts.train.vocoder_trainer import VocoderTrainer
+    n_resume_modes = sum(bool(m) for m in (args.voc_finetune_fs2,
+                                           args.contrast_ab,
+                                           args.final_only))
+    if n_resume_modes > 1:
+        raise SystemExit("pass at most ONE of --voc-finetune-fs2 / "
+                         "--contrast-ab / --final-only per invocation")
+    if args.voc_finetune_fs2 < 0:
+        raise SystemExit("--voc-finetune-fs2 must be a positive step count")
 
-        exp_root = root / "experiments"
-        rank_exp = _latest_exp(exp_root / "rank_model")
-        fs2_exp = _latest_exp(exp_root / "fastspeech2")
-        voc_exp = _latest_exp(exp_root / "vocoder")
-        cfg.inference.rank_exp = Path(rank_exp).name
-        cfg.inference.fs2_exp = Path(fs2_exp).name
-        intensity_texts = [t for t in args.intensity_texts.split("|")
-                           if t.strip()]
-        # before: the straight-through campaign's final numbers (if present)
+    if args.voc_finetune_fs2:
+        rank_exp, fs2_exp, voc_exp, intensity_texts = _resume_setup(
+            cfg, root, args)
+        # before: the straight-through campaign's final numbers, and — for
+        # chained fine-tune legs — the PREVIOUS leg's after (so each
+        # report's before/after delta matches its own finetune_steps)
         before = {}
         prev = root / "convergence_summary.json"
         if prev.exists():
             s = json.loads(prev.read_text())
             before = {"eval": s.get("final_with_vocoder"),
+                      "eval_ci95": s.get("final_with_vocoder_ci95"),
                       "intensity": s.get("final_intensity")}
+        prev_leg = root / "finetune_fs2.json"
+        previous_leg = (json.loads(prev_leg.read_text())["after"]
+                        if prev_leg.exists() else None)
         cfg.train_vocoder.condition = "fs2"
         trainer = VocoderTrainer(cfg)
         t0 = time.time()
-        trainer.restore(voc_exp)
+        if not trainer.restore(voc_exp):
+            raise SystemExit(f"--voc-finetune-fs2: no vocoder checkpoint to "
+                             f"fine-tune under {voc_exp}")
         start = int(np.asarray(trainer.gen_state.step))
+        if start == 0:
+            raise SystemExit(f"--voc-finetune-fs2: {voc_exp} restored at "
+                             "step 0 — refusing to present a from-scratch "
+                             "run as a fine-tune")
         target = start + args.voc_finetune_fs2
+        # fine-tune into a FRESH experiment dir so the straight-through
+        # campaign's vocoder (checkpoints + vocoder.npz) stays intact and
+        # reproducible; later resume legs pick up the new dir as latest
+        from emotts.utils.experiment import increment_path
+
+        ft_exp = increment_path(str(root / "experiments" / "vocoder"))
         print(f"[conv] fs2-condition fine-tune: {voc_exp} step {start} -> "
-              f"{target}", flush=True)
-        trainer.fit(exp_path=voc_exp, resume=True, n_steps=target)
+              f"{target} (into {ft_exp})", flush=True)
+        trainer.fit(exp_path=ft_exp, resume=False, n_steps=target)
         # fit() exports vocoder.npz into the exp dir at the end
         walls["voc_finetune_fs2"] = time.time() - t0
 
         from emotts.eval.evaluate import Evaluator
         from emotts.infer.synthesize import load_vocoder_checkpoint
 
-        voc_params = load_vocoder_checkpoint(
-            str(Path(voc_exp) / "vocoder.npz"), cfg)
+        voc_npz = str(Path(ft_exp) / "vocoder.npz")
+        voc_params = load_vocoder_checkpoint(voc_npz, cfg)
         t0 = time.time()
         ev = Evaluator(cfg, fs2_exp=fs2_exp, rank_exp=rank_exp,
                        vocoder_params=voc_params)
@@ -254,13 +273,21 @@ def main() -> int:
                         out_path=str(root / "eval_final_ft.json"),
                         f0_max_utts=args.eval_f0_utts)
         walls["eval_final_ft"] = time.time() - t0
-        cfg.inference.vocoder_checkpoint = str(Path(voc_exp) / "vocoder.npz")
+        cfg.inference.vocoder_checkpoint = voc_npz
         after_int = _intensity_eval(cfg, root, walls, rank_exp,
                                     intensity_texts, fs2_exp, "final_ft")
+        from emotts.utils.plotting import plot_intensity_sweep
+
+        plot_intensity_sweep(
+            json.loads((root / "intensity_final_ft.json").read_text()),
+            str(root / "intensity_final_ft.png"),
+        )
         out = {
             "finetune_steps": args.voc_finetune_fs2,
             "from_step": start, "to_step": target,
+            "from_exp": str(voc_exp), "vocoder_exp": str(ft_exp),
             "before": before,
+            "previous_leg": previous_leg,
             "after": {"eval": report["overall"],
                       "eval_ci95": report["overall_ci95"],
                       "intensity": after_int},
@@ -272,16 +299,11 @@ def main() -> int:
         return 0
 
     if args.contrast_ab:
-        exp_root = root / "experiments"
-        rank_exp = _latest_exp(exp_root / "rank_model")
-        fs2_exp = _latest_exp(exp_root / "fastspeech2")
-        voc_exp = _latest_exp(exp_root / "vocoder")
-        cfg.inference.rank_exp = Path(rank_exp).name
-        cfg.inference.fs2_exp = Path(fs2_exp).name
-        cfg.inference.vocoder_checkpoint = str(Path(voc_exp) / "vocoder.npz")
-        intensity_texts = [t for t in args.intensity_texts.split("|")
-                           if t.strip()]
-        ab = {"contrast": {}}
+        rank_exp, fs2_exp, voc_exp, intensity_texts = _resume_setup(
+            cfg, root, args)
+        voc_npz = str(Path(voc_exp) / "vocoder.npz")
+        cfg.inference.vocoder_checkpoint = voc_npz
+        ab = {"contrast": {}, "vocoder_checkpoint": voc_npz}
         for c in [float(x) for x in args.contrast_ab.split(",")]:
             tag = f"contrast_{c:g}"
             row = _intensity_eval(cfg, root, walls, rank_exp,
@@ -290,8 +312,8 @@ def main() -> int:
             print(f"[conv] contrast={c:g}: {json.dumps(row)}", flush=True)
         ab["walls_s"] = {k: round(v, 1) for k, v in walls.items()}
         (root / "contrast_ab.json").write_text(json.dumps(ab, indent=2))
-        print(f"[conv] contrast A/B written to {root / 'contrast_ab.json'}",
-              flush=True)
+        print(f"[conv] contrast A/B written to {root / 'contrast_ab.json'}"
+              f" (vocoder: {voc_npz})", flush=True)
         return 0
 
     if args.final_only:
@@ -299,16 +321,10 @@ def main() -> int:
         if partial.exists():
             summary.update(json.loads(partial.read_text()))
         summary["resumed_final_only"] = True
-        exp_root = root / "experiments"
-        rank_exp = _latest_exp(exp_root / "rank_model")
-        fs2_exp = _latest_exp(exp_root / "fastspeech2")
-        voc_exp = _latest_exp(exp_root / "vocoder")
-        cfg.inference.rank_exp = Path(rank_exp).name
-        cfg.inference.fs2_exp = Path(fs2_exp).name
+        rank_exp, fs2_exp, voc_exp, intensity_texts = _resume_setup(
+            cfg, root, args)
         print(f"[conv] --final-only: rank={rank_exp} fs2={fs2_exp} "
               f"voc={voc_exp}", flush=True)
-        intensity_texts = [t for t in args.intensity_texts.split("|")
-                           if t.strip()]
         return _finalize(args, cfg, root, walls, summary, rank_exp,
                          fs2_exp, voc_exp, intensity_texts)
 
@@ -457,6 +473,22 @@ def _intensity_eval(cfg, root, walls, rank_exp, intensity_texts, fs2_exp, tag,
     row = {k: rep.get(k) for k in _INT_KEYS}
     row["feature_path"] = rep["feature_path"]
     return row
+
+
+def _resume_setup(cfg, root: Path, args):
+    """Shared setup for the resume modes (--final-only / --contrast-ab /
+    --voc-finetune-fs2): resolve the campaign's latest experiments, point
+    cfg.inference at them, and parse the sweep texts.  One copy so the
+    three modes cannot drift apart."""
+    exp_root = root / "experiments"
+    rank_exp = _latest_exp(exp_root / "rank_model")
+    fs2_exp = _latest_exp(exp_root / "fastspeech2")
+    voc_exp = _latest_exp(exp_root / "vocoder")
+    cfg.inference.rank_exp = Path(rank_exp).name
+    cfg.inference.fs2_exp = Path(fs2_exp).name
+    intensity_texts = [t for t in args.intensity_texts.split("|")
+                       if t.strip()]
+    return rank_exp, fs2_exp, voc_exp, intensity_texts
 
 
 def _latest_exp(base: Path) -> str:
