@@ -414,12 +414,15 @@ class IntensityEfficacyEvaluator:
         by_cell = {}
         cell_strict = 0
         for (s, e), by_level in sorted(agg.items()):
-            means = [
-                float(np.mean(by_level[lv])) for lv in sorted(by_level)
-            ]
+            cell_levels = sorted(by_level)
+            means = [float(np.mean(by_level[lv])) for lv in cell_levels]
             mono = bool(all(a < b for a, b in zip(means, means[1:])))
             cell_strict += mono
             by_cell[f"{speakers[s]}/{emotions[e]}"] = {
+                # the level values that actually survived synthesis for this
+                # cell (a degenerate combo can drop a MIDDLE level, so the
+                # plot must not assume the missing one is trailing)
+                "levels": [float(lv) for lv in cell_levels],
                 "score_mean_per_level": [round(m, 4) for m in means],
                 "monotone_strict": mono,
             }

@@ -117,6 +117,11 @@ class RankTrainer:
 
         def eval_step(params, batch) -> Tuple[Dict, jnp.ndarray]:
             b = batch["emo_x"].shape[0]
+            rv = batch.get("row_valid")
+            # 1) reference-parity pass: BOTH branches share the same
+            #    λ=linspace row (faithful to rank_model/train.py:92), which
+            #    pins the RankNet BCE at ln 2 for any model — kept for
+            #    parity, logged as valid/loss etc.
             lambdas = jnp.tile(jnp.linspace(0.0, 1.0, b)[None, :], (2, 1))
             preds = self.model.apply(
                 params,
@@ -130,8 +135,41 @@ class RankTrainer:
             # pad_to_multiple out of the eval reductions (unbiased,
             # topology-independent validation loss)
             _, metrics = rank_loss(
-                preds, batch["emotions"], alpha, beta,
-                row_weights=batch.get("row_valid"),
+                preds, batch["emotions"], alpha, beta, row_weights=rv,
+            )
+            # 2) informative pass: a REAL pair — branch i gets the pure
+            #    emotional input (λ≡1), branch j the pure neutral (λ≡0), so
+            #    the ranking BCE target is 1 and the metric moves with the
+            #    model's actual margin.  valid/pair_order_acc is the held-out
+            #    real-pair order accuracy (chance 0.5); valid/loss_informative
+            #    is the α/β-weighted loss on this pass and (by default) drives
+            #    patience/best-checkpoint selection instead of the pinned
+            #    quirk loss.
+            lam_pairs = jnp.stack(
+                [jnp.ones((b,), jnp.float32), jnp.zeros((b,), jnp.float32)]
+            )
+            preds_p = self.model.apply(
+                params,
+                batch["emo_x"],
+                batch["neu_x"],
+                batch["emotions"],
+                batch["lengths"],
+                lam_pairs,
+            )
+            _, m_inf = rank_loss(
+                preds_p, batch["emotions"], alpha, beta, row_weights=rv,
+            )
+            ri = preds_p[6].reshape(-1)
+            rj = preds_p[7].reshape(-1)
+            order = (ri > rj).astype(jnp.float32)
+            w = (jnp.ones_like(order) if rv is None
+                 else rv.astype(jnp.float32))
+            metrics = dict(metrics)
+            metrics["loss_informative"] = m_inf["loss"]
+            metrics["mixup_loss_pairs"] = m_inf["mixup_loss"]
+            metrics["rank_loss_pairs"] = m_inf["rank_loss"]
+            metrics["pair_order_acc"] = (
+                (order * w).sum() / jnp.maximum(w.sum(), 1.0)
             )
             return metrics, preds[4]  # pooled h_i
 
@@ -268,12 +306,19 @@ class RankTrainer:
                     valid_loader, epoch, writer,
                     exp_path if (last or (epoch + 1) % ae == 0) else None,
                 )
-                val_loss = val_means.get("loss", float("inf"))
+                sel_key = ("loss_informative"
+                           if cfg.train_rank.selection_metric == "informative"
+                           else "loss")
+                val_loss = val_means.get(
+                    sel_key, val_means.get("loss", float("inf"))
+                )
                 if verbose:
                     print(
                         f"[rank] epoch {epoch}: "
                         f"train {train_means.get('loss', 0):.4f} "
-                        f"valid {val_loss:.4f}"
+                        f"valid {val_means.get('loss', 0):.4f} "
+                        f"informative {val_means.get('loss_informative', 0):.4f} "
+                        f"pair_acc {val_means.get('pair_order_acc', 0):.3f}"
                     )
                 ckpt.save(self.state)
                 if val_loss < best_val:

@@ -197,6 +197,18 @@ class TrainConfig:
     # observability/debug (SURVEY.md §5: absent in the reference)
     profile_epoch: int = -1  # epoch to capture a jax.profiler trace (-1 = off)
     debug_nans: bool = False  # enable jax_debug_nans for fault isolation
+    # best-checkpoint / early-stop criterion.  "loss" = the validation total
+    # loss (the reference's criterion, rank_model/train.py:246-256).  For the
+    # RANK model that loss's ranking term is pinned at ln 2 by construction:
+    # the replicated reference validation drives both mixup branches with the
+    # SAME λ=linspace row (rank_model/train.py:92), so r_i≡r_j and the
+    # RankNet BCE is constant for any model.  "informative" (rank trainer
+    # only; the default there) selects on valid/loss_informative instead —
+    # the same α/β-weighted loss computed on a REAL pair pass (λ_i≡1 pure
+    # emotional vs λ_j≡0 pure neutral), whose ranking BCE and the
+    # valid/pair_order_acc series actually move with model quality.  The
+    # quirk metric stays logged as valid/loss for parity either way.
+    selection_metric: str = "loss"
 
 
 @dataclass
@@ -321,7 +333,9 @@ class Config:
     rank_model: RankModelConfig = field(default_factory=RankModelConfig)
     fastspeech2: FastSpeech2Config = field(default_factory=FastSpeech2Config)
     loss: LossConfig = field(default_factory=LossConfig)
-    train_rank: TrainConfig = field(default_factory=TrainConfig)
+    train_rank: TrainConfig = field(
+        default_factory=lambda: TrainConfig(selection_metric="informative")
+    )
     train_fs2: TrainConfig = field(
         default_factory=lambda: TrainConfig(
             n_epochs=1000, max_iterations=250_000, learning_rate=1e-4

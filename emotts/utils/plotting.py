@@ -197,10 +197,14 @@ def plot_intensity_sweep(report: dict, save_path: str) -> None:
             color = DEFAULT_COLORS[ei % len(DEFAULT_COLORS)]
             style = "-" if cell.get("monotone_strict", True) else "--"
             # a degenerate combo (zero synthesized frames at some level)
-            # can leave fewer scores than configured levels — plot what
-            # survived instead of crashing the campaign's final leg
+            # can leave fewer scores than configured levels — plot the
+            # surviving scores at their TRUE level positions (the report's
+            # per-cell ``levels``; a missing level need not be the trailing
+            # one) instead of crashing the campaign's final leg
             ys = cell["score_mean_per_level"]
-            (line,) = ax.plot(levels[: len(ys)], ys[: len(levels)], style,
+            xs = cell.get("levels", levels[: len(ys)])
+            n_pts = min(len(xs), len(ys))
+            (line,) = ax.plot(xs[:n_pts], ys[:n_pts], style,
                               marker="o", markersize=4, color=color)
             seen_labels.setdefault(emo, line)
         ax.set_title(spk, fontsize=10)

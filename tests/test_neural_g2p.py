@@ -39,6 +39,15 @@ def test_weights_packaged_and_versioned(model):
     data = np.load(ng.BUNDLED_WEIGHTS)
     assert float(data["__eval_exact__"][0]) >= 0.65
     assert float(data["__eval_per__"][0]) <= 0.075
+    # the SPLIT-STABLE floor: accuracy on the clean common set (held-out
+    # words unseen by BOTH the band-11 and band-15 trainings, n=2000
+    # seeded) — this number cannot be inflated by lexicon growth
+    # reshuffling the split, so it protects against a regression back to
+    # old-split-level quality that the split-relative floors above would
+    # admit (band-11 weights read 0.536/0.108 here; shipped band-15:
+    # 0.561/0.096)
+    assert float(data["__eval_clean_common_exact__"][0]) >= 0.55
+    assert float(data["__eval_clean_common_per__"][0]) <= 0.10
 
 
 def test_decode_outputs_valid_vocab(model):

@@ -64,6 +64,47 @@ def test_rank_fit_and_bucketize(corpus_cfg):
     assert np.abs(protos[:, 1:]).sum() > 0
 
 
+def test_informative_validation_metrics(corpus_cfg):
+    """VERDICT-r4 item 4: alongside the replicated reference validation
+    (both mixup branches share one λ row, rank_model/train.py:92 — which
+    pins valid/rank_loss at ln 2 for ANY model), the trainer must record a
+    ranking metric that can move: a real-pair pass (λ_i≡1 emotional vs
+    λ_j≡0 neutral) giving valid/pair_order_acc and valid/loss_informative,
+    with best-checkpoint selection using the informative loss by default."""
+    import json
+
+    cfg = corpus_cfg
+    assert cfg.train_rank.selection_metric == "informative"  # the default
+    trainer = RankTrainer(cfg, mesh=_small_mesh())
+    loader = trainer._loader("test", shuffle=False)
+    batch = next(iter(loader.epoch(0)))
+    from emotts.parallel.mesh import shard_batch
+
+    metrics, _ = trainer._eval_step(
+        trainer.state.params, shard_batch(trainer.mesh, batch)
+    )
+    metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+    # the parity quirk: same-λ validation pins the RankNet BCE at ln 2
+    assert abs(metrics["rank_loss"] - np.log(2.0)) < 1e-5
+    # the informative pass is NOT pinned: its target is 1, so the BCE
+    # equals -log σ(r_i − r_j), which only equals ln 2 at exactly zero
+    # margin; order accuracy is a real probability
+    assert 0.0 <= metrics["pair_order_acc"] <= 1.0
+    assert metrics["loss_informative"] > 0.0
+    assert metrics["rank_loss_pairs"] > 0.0
+
+    # fit() records the new series to metrics.jsonl
+    exp_path = trainer.fit(verbose=False)
+    lines = [json.loads(m) for m in
+             (Path(exp_path) / "metrics.jsonl").read_text().splitlines()]
+    tags = {m["tag"] for m in lines}
+    assert {"valid/loss", "valid/loss_informative", "valid/pair_order_acc",
+            "valid/rank_loss_pairs"} <= tags
+    # the quirk series really is pinned while the informative one is free
+    quirk = [m["value"] for m in lines if m["tag"] == "valid/rank_loss"]
+    assert all(abs(v - np.log(2.0)) < 1e-5 for v in quirk)
+
+
 def test_train_step_loss_decreases(corpus_cfg):
     """A few steps on one repeated batch must reduce the loss."""
     cfg = corpus_cfg
