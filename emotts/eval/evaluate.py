@@ -80,12 +80,14 @@ class Evaluator:
         rank_params = load_best_params(rank_exp, rank_template)
         self.extractor_params = extractor_params_from_rank(rank_params)
 
-        def forward(variables, ext_params, batch, teacher_forced: bool):
-            frames = self.extractor.apply(
-                ext_params, batch["rank_x"], batch["mel_len"],
-                batch["emotions"],
-            )
-            rep = segment_mean(frames, batch["durations"])
+        def forward(variables, ext_params, batch, teacher_forced: bool,
+                    rep=None):
+            if rep is None:
+                frames = self.extractor.apply(
+                    ext_params, batch["rank_x"], batch["mel_len"],
+                    batch["emotions"],
+                )
+                rep = segment_mean(frames, batch["durations"])
             kwargs = dict(
                 intensity=rep, max_mel_len=batch["mel"].shape[1]
             )
@@ -105,8 +107,20 @@ class Evaluator:
 
         jtf = jax.jit(lambda v, e, b: forward(v, e, b, True))
         jfree = jax.jit(lambda v, e, b: forward(v, e, b, False))
-        self._tf = lambda b: jtf(self.variables, self.extractor_params, b)
-        self._free = lambda b: jfree(self.variables, self.extractor_params, b)
+        # prototype-conditioned variants (the user-facing synthesis path:
+        # conditioning comes from the bucketizer's intensity bank instead of
+        # the utterance's own extracted representation) — used by the
+        # contrast quality A/B, emotts/eval/intensity_eval.py's sibling
+        jtf_rep = jax.jit(lambda v, e, b, r: forward(v, e, b, True, r))
+        jfree_rep = jax.jit(lambda v, e, b, r: forward(v, e, b, False, r))
+        self._tf = lambda b, rep=None: (
+            jtf(self.variables, self.extractor_params, b) if rep is None
+            else jtf_rep(self.variables, self.extractor_params, b, rep)
+        )
+        self._free = lambda b, rep=None: (
+            jfree(self.variables, self.extractor_params, b) if rep is None
+            else jfree_rep(self.variables, self.extractor_params, b, rep)
+        )
 
     @staticmethod
     def _arrays_only(batch: Dict) -> Dict:
@@ -157,9 +171,46 @@ class Evaluator:
         rmse, vuv = f0_metrics(f0_ref[pi], f0_syn[pj])
         return {"f0_rmse_hz": rmse, "vuv_error_rate": vuv}
 
+    def _prototype_rep(self, batch, intensity_bank: np.ndarray,
+                       contrast: float, level: Optional[int]) -> np.ndarray:
+        """Phone-level conditioning from the bucketizer's prototype bank —
+        the same mechanism synthesis uses (reference
+        fastspeech2/inference.py:12-21; neutral → zeros), with the
+        prototypes exaggerated around their per-cell level-mean as
+        ``m + contrast·(p − m)`` (``--intensity-scale``'s mechanism).
+        Returns (B, T_phon, dim) float32."""
+        bank = np.asarray(intensity_bank, np.float32)
+        lv = bank.shape[2] // 2 if level is None else int(level)
+        b, t_phon = batch["phonemes"].shape[:2]
+        rep = np.zeros((b, t_phon, bank.shape[-1]), np.float32)
+        for i in range(b):
+            e = int(batch["emotions"][i])
+            if e == 0:
+                continue
+            s = int(batch["speakers"][i])
+            p = bank[s, e, lv]
+            m = bank[s, e].mean(0)
+            rep[i, : int(batch["phon_len"][i])] = m + contrast * (p - m)
+        return rep
+
     def run(self, split: str = "valid", max_batches: Optional[int] = None,
-            out_path: Optional[str] = None, f0_max_utts: int = 32) -> Dict:
+            out_path: Optional[str] = None, f0_max_utts: int = 32,
+            conditioning: str = "own",
+            intensity_bank: Optional[np.ndarray] = None,
+            contrast: float = 1.0,
+            proto_level: Optional[int] = None) -> Dict:
+        """``conditioning="own"`` (default) conditions each utterance on its
+        own extracted intensity representation (the training-time bridge);
+        ``conditioning="prototype"`` conditions on the intensity-bank
+        prototype for the utterance's (speaker, emotion) at ``proto_level``
+        (default: middle level) exaggerated by ``contrast`` — measuring the
+        objective quality (MCD/F0/VUV vs ground truth) of the USER-facing
+        synthesis path at a given contrast operating point."""
         cfg = self.cfg
+        if conditioning not in ("own", "prototype"):
+            raise ValueError(f"unknown conditioning mode {conditioning!r}")
+        if conditioning == "prototype" and intensity_bank is None:
+            raise ValueError("conditioning='prototype' needs intensity_bank")
         loader = BucketLoader(
             FS2Dataset(cfg, split),
             buckets=cfg.bucketing.frame_buckets,
@@ -177,8 +228,11 @@ class Evaluator:
             if max_batches is not None and bi >= max_batches:
                 break
             arrays = self._arrays_only(batch)
-            tf_mel, tf_logdur, _ = jax.device_get(self._tf(arrays))
-            fr_mel, _, fr_lens = jax.device_get(self._free(arrays))
+            rep = (self._prototype_rep(batch, intensity_bank, contrast,
+                                       proto_level)
+                   if conditioning == "prototype" else None)
+            tf_mel, tf_logdur, _ = jax.device_get(self._tf(arrays, rep))
+            fr_mel, _, fr_lens = jax.device_get(self._free(arrays, rep))
             b = batch["mel"].shape[0]
             for i in range(b):
                 t = int(batch["mel_len"][i])
@@ -219,6 +273,11 @@ class Evaluator:
                 per_utt.append(row)
 
         report = aggregate(per_utt)
+        report["conditioning"] = conditioning
+        if conditioning == "prototype":
+            report["contrast"] = contrast
+            report["proto_level"] = (proto_level if proto_level is not None
+                                     else int(intensity_bank.shape[2] // 2))
         if out_path is None:
             out_path = os.path.join(self.fs2_exp, "eval.json")
         with open(out_path, "w") as f:
