@@ -687,7 +687,7 @@ def _rank_ab(cfg, root: Path, walls, args) -> int:
     return 0
 
 
-def _finetune_leg(cfg, root: Path, voc_from_exp, steps: int):
+def _finetune_leg(cfg, root: Path, voc_from_exp, steps: int, pairs=None):
     """One FS2-conditioned vocoder fine-tune leg: restore the generator/
     discriminator state from ``voc_from_exp``, train ``steps`` MORE GAN
     steps on teacher-forced FS2-predicted mels (real audio stays the
@@ -711,7 +711,7 @@ def _finetune_leg(cfg, root: Path, voc_from_exp, steps: int):
     ft_exp = increment_path(str(root / "experiments" / "vocoder"))
     print(f"[conv] fs2-condition fine-tune: {voc_from_exp} step {start} -> "
           f"{target} (into {ft_exp})", flush=True)
-    trainer.fit(exp_path=ft_exp, resume=False, n_steps=target)
+    trainer.fit(exp_path=ft_exp, resume=False, n_steps=target, pairs=pairs)
     # fit() exports vocoder.npz into the exp dir at the end
     return ft_exp, start, target
 
@@ -837,10 +837,16 @@ def _finalize(args, cfg, root, walls, summary, rank_exp, fs2_exp, voc_exp,
     min_legs = min(3, n_legs_fixed) if n_legs_fixed else 3
     max_legs = n_legs_fixed if n_legs_fixed else args.max_finetune_legs
     stop_reason = "max_legs"
+    # one teacher-forced FS2 pass feeds every leg (FS2 is frozen here)
+    from emotts.train.vocoder_trainer import predicted_mel_pairs
+
+    t0 = _time.time()
+    ft_pairs = predicted_mel_pairs(cfg)
+    walls["ft_pairs"] = _time.time() - t0
     for k in range(1, max_legs + 1):
         t0 = _time.time()
         ft_exp, start, target = _finetune_leg(
-            cfg, root, cur_exp, args.finetune_steps_per_leg)
+            cfg, root, cur_exp, args.finetune_steps_per_leg, pairs=ft_pairs)
         walls[f"ftleg{k}_train"] = _time.time() - t0
         cfg.inference.vocoder_checkpoint = str(Path(ft_exp) / "vocoder.npz")
         row = _intensity_eval(cfg, root, walls, rank_exp, stage_texts,

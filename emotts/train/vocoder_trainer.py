@@ -402,17 +402,36 @@ class VocoderTrainer:
         n_steps: Optional[int] = None,
         exp_path: Optional[str] = None,
         resume: bool = False,
+        pairs=None,
     ) -> str:
+        """``pairs``: pre-computed (predicted-mel, waveform) pairs for the
+        fs2-condition path — chained fine-tune legs share one FS2, so the
+        caller can compute ``predicted_mel_pairs`` once instead of
+        re-running the teacher-forced pass per leg."""
         cfg, vc = self.cfg, self.cfg.train_vocoder
         set_seed(vc.seed)
+        if exp_path is None:
+            exp_path = increment_path(
+                os.path.join(cfg.data.experiment_path, "vocoder")
+            )
+        os.makedirs(exp_path, exist_ok=True)
+        if resume:
+            self.restore(exp_path)
+        # the sampler seed folds in the (restored) step counter, so
+        # continued training — a resume or a chained fine-tune leg — draws
+        # a fresh crop sequence instead of replaying the first run's
+        # batches (fresh runs start at step 0: seed unchanged)
+        start0 = int(jax.device_get(self.gen_state.step))
+        sampler_seed = vc.seed + jax.process_index() + start0
         if self.condition == "fs2":
-            pairs = predicted_mel_pairs(cfg)
+            if pairs is None:
+                pairs = predicted_mel_pairs(cfg)
             # multi-host: disjoint utterance shards per process
             pairs = pairs[jax.process_index() :: jax.process_count()]
             sampler = PairedSegmentSampler(
                 pairs, vc.segment_frames, cfg.audio.hop_length,
                 mel_floor=float(np.log(cfg.audio.clip_val)),
-                seed=vc.seed + jax.process_index(),
+                seed=sampler_seed,
             )
         else:
             if wav_paths is None:
@@ -422,15 +441,8 @@ class VocoderTrainer:
             wav_paths = wav_paths[jax.process_index() :: jax.process_count()]
             sampler = SegmentSampler(
                 wav_paths, cfg.audio.sampling_rate, self.segment_samples,
-                seed=vc.seed + jax.process_index(),
+                seed=sampler_seed,
             )
-        if exp_path is None:
-            exp_path = increment_path(
-                os.path.join(cfg.data.experiment_path, "vocoder")
-            )
-        os.makedirs(exp_path, exist_ok=True)
-        if resume:
-            self.restore(exp_path)
         mgr = self._ckpt_mgr(exp_path)
         writer = MetricsWriter(exp_path)
         avg = EpochAverager()
