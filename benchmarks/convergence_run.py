@@ -290,6 +290,11 @@ def main() -> int:
     cfg.train_rank.artifact_every_epochs = 200
     cfg.train_fs2.validate_every_epochs = 5
     cfg.train_fs2.artifact_every_epochs = 20
+    # the per-STAGE vocoded sweeps run while trainer states are still
+    # resident in HBM (the round-4 16384 budget was tuned for the
+    # final-leg liveness); a conservative chunk keeps every vocode
+    # dispatch small — a benchmark-script choice, ~ms of extra dispatch
+    cfg.inference.vocode_row_frames = 4096
 
     if args.rank_ab:
         return _rank_ab(cfg, root, walls, args)
@@ -444,6 +449,12 @@ def main() -> int:
     rank_template = init_rank_params(cfg, build_rank_model(cfg), 0)
     rank_params = load_best_params(rank_exp, {"params": rank_template["params"]})
     ext_params = extractor_params_from_rank(rank_params)
+    # the trainer's device state (params + opt moments, ~GB at full size)
+    # is dead weight from here on — free the HBM before the vocoded evals
+    import gc
+
+    del rank_trainer
+    gc.collect()
 
     t0 = time.time()
     cfg.inference.rank_exp = Path(rank_exp).name
@@ -502,6 +513,10 @@ def main() -> int:
         (root / "convergence_summary.partial.json").write_text(
             json.dumps(summary, indent=2)
         )
+    # free the GAN trainer's device state (gen+disc params + two optimizer
+    # states); the fine-tune legs restore from the checkpoint on disk
+    del voc_trainer
+    gc.collect()
 
     # ---- FS2 in stages, evaluating after each THROUGH the vocoder -------
     intensity_texts = [t for t in args.intensity_texts.split("|") if t.strip()]
@@ -550,6 +565,11 @@ def main() -> int:
         (root / "convergence_summary.partial.json").write_text(
             json.dumps(summary, indent=2)
         )
+
+    # FS2 training is finished; free its trainer state before the
+    # remaining vocoded evals (the Evaluator reloads best params from disk)
+    del fs2_trainer
+    gc.collect()
 
     # ---- per-VOCODER-stage intensity series (GT-stage snapshots, final
     # FS2) — the other axis of the capability's emergence -----------------
