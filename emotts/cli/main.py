@@ -93,6 +93,16 @@ def _parse(argv):
                         help="(synthesize --text-file) intensity level; "
                         "fractional values interpolate between bucket "
                         "prototypes (e.g. 1.5)")
+    parser.add_argument("--conditioning", default="own",
+                        choices=["own", "prototype"],
+                        help="(evaluate) intensity conditioning for the "
+                        "objective metrics: 'own' = each utterance's "
+                        "extracted representation (training-time bridge); "
+                        "'prototype' = the bucketized intensity bank at the "
+                        "middle level — the USER-facing synthesis path, "
+                        "measurable at any --contrast operating point "
+                        "(shares the --contrast flag with eval-intensity: "
+                        "prototypes exaggerated as m + c*(p - m))")
     parser.add_argument("--intensity-scale", type=float, default=1.0,
                         help="(synthesize --text-file) multiplier on the "
                         "intensity conditioning vector (0=neutral-like, "
@@ -370,7 +380,23 @@ def main(argv=None) -> int:
 
         from emotts.infer.synthesize import maybe_load_vocoder
 
-        report = Evaluator(cfg, vocoder_params=maybe_load_vocoder(cfg)).run()
+        run_kwargs = {}
+        if args.conditioning == "prototype":
+            import os as _os
+
+            import numpy as _np
+
+            bank_path = _os.path.join(
+                cfg.data.experiment_path, "rank_model",
+                cfg.inference.rank_exp, "intensity.npy",
+            )
+            run_kwargs = dict(
+                conditioning="prototype",
+                intensity_bank=_np.load(bank_path),
+                contrast=args.contrast,
+            )
+        report = Evaluator(cfg, vocoder_params=maybe_load_vocoder(cfg)).run(
+            **run_kwargs)
         overall = report["overall"]
         print(f"[evaluate] {report['n_utterances']} utterances")
         for k, v in overall.items():

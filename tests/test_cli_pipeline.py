@@ -66,3 +66,13 @@ def test_full_chain(tmp_path):
     for (spk, emo, lv), mel in out.items():
         assert mel.ndim == 2 and mel.shape[1] == cfg.audio.n_mels
         assert np.isfinite(mel).all()
+
+    # evaluate with PROTOTYPE conditioning at an exaggerated contrast —
+    # the CLI surface of the --intensity-scale quality trade-off
+    assert main(["evaluate", "--config", cfg_path,
+                 "--conditioning", "prototype", "--contrast", "1.5"]) == 0
+    rep = json.loads((fs2_exp / "eval.json").read_text())
+    assert rep["conditioning"] == "prototype"
+    assert rep["contrast"] == 1.5
+    assert rep["n_utterances"] > 0
+    assert "mcd_teacher_forced" in rep["overall"]
