@@ -168,3 +168,125 @@ def test_rank_steps_ab_artifact():
     # loss) is the moving signal
     for a in ab["arms"]:
         assert a["rank_pair_order_acc"][-1]["value"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Round-5 campaign (benchmarks/results/convergence_r5*.json): the per-stage
+# through-vocoder emergence series and the measured rank-budget trade-off
+# quoted in README/BENCH_NOTES — isolated strength-Spearman UP, end-to-end
+# ordering DOWN, so the campaign default stays at the 1k rank arm.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def summary_r5():
+    path = RESULTS / "convergence_r5.json"
+    assert path.exists(), "round-5 campaign summary missing"
+    return json.loads(path.read_text())
+
+
+def test_r5_topology_and_rank_arm(summary_r5):
+    corpus = summary_r5["corpus"]
+    assert corpus["speakers"] == 4 and corpus["emotions"] == 5
+    assert corpus["utts_per_emotion"] * 4 * 5 == 800
+    assert summary_r5["rank_steps"] == 5000, "r5 ran the 5k A/B-winner arm"
+
+
+def test_r5_rank_learned_strength_axis_better_than_r4(summary_r5):
+    sp = summary_r5["rank_strength_spearman"]
+    assert round(sp["mean_spearman"], 3) == 0.527
+    assert len(sp["by_cell"]) == 16
+    assert all(v > 0 for v in sp["by_cell"].values())
+    amused = [v for c, v in sp["by_cell"].items() if c.endswith("/amused")]
+    assert min(amused) > 0.3, "the r4-weakest cells lifted (were 0.03-0.38)"
+
+
+def test_r5_informative_validation_series_moves(summary_r5):
+    """Round-4 verdict item 4: a ranking validation signal that can move
+    (the reference-parity rank BCE is pinned at ln 2 by construction)."""
+    ref = [r["value"] for r in summary_r5["rank_valid_loss"]]
+    inf = [r["value"] for r in summary_r5["rank_valid_loss_informative"]]
+    assert len(ref) >= 30 and ref[-1] < ref[0]
+    assert inf[-1] < inf[0]
+
+
+def test_r5_per_stage_through_vocoder_series(summary_r5):
+    """Round-4 verdict item 3: the per-stage series is measured THROUGH
+    the vocoder (the mel-only series saturated at 1.00 and measured
+    nothing) — and on this arm it is chance-adjacent at every stage."""
+    stages = summary_r5["stages"]
+    assert [s["stage"] for s in stages] == [0, 1, 2]
+    for s in stages:
+        i = s["intensity"]
+        assert i["feature_path"] == "vocoded_audio"
+        assert i["verdict"] == "measured"
+        assert 0.3 < i["pairwise_order_accuracy"] < 0.75
+    # vocoder-stage axis too
+    voc = summary_r5["vocoder"]
+    assert len(voc) == 2
+    assert all(v["intensity"]["feature_path"] == "vocoded_audio"
+               for v in voc)
+
+
+def test_r5_finetune_saturation(summary_r5):
+    """Round-4 verdict item 1 machinery: legs chain until the reduced-sweep
+    delta falls inside half the CI width; on this arm they saturate after
+    3 legs with zero net lift (the r4 system gained 0.722->0.875)."""
+    fs = summary_r5["finetune_saturation"]
+    assert fs["stop_reason"] == "saturated" and fs["saturated"] is True
+    assert len(fs["legs"]) == 3
+    assert fs["steps_per_leg"] == 1000
+    base = fs["baseline_reduced"]["pairwise_order_accuracy"]
+    last = fs["legs"][-1]["reduced_sweep"]["pairwise_order_accuracy"]
+    assert abs(last - base) <= 0.05, "no net lift on the weak-signal arm"
+    for k in (1, 2, 3):
+        assert (RESULTS / f"convergence_r5_intensity_ftleg{k}.json").exists()
+
+
+def test_r5_ft_final_headline_numbers(summary_r5):
+    """The r5 FT-final numbers quoted in README/BENCH_NOTES: above chance,
+    far below the r4 production system — the measured negative that keeps
+    the campaign default at the 1k rank arm."""
+    fin = summary_r5["final_intensity_ft"]
+    assert fin["feature_path"] == "vocoded_audio"
+    assert round(fin["pairwise_order_accuracy"], 3) == 0.604
+    lo, hi = fin["pairwise_order_accuracy_ci95"]
+    assert lo > 0.5 and hi < 0.72
+    assert round(fin["monotonic_fraction_strict"], 3) == 0.312
+    # half the r4 spread, still beating the permutation null
+    spread = fin["prototype_spread"]["mean_pairwise_over_norm"]
+    assert round(spread, 3) == 0.097
+    rep = json.loads(
+        (RESULTS / "convergence_r5_intensity_final_ft.json").read_text())
+    sig = rep["prototype_spread_significance"]
+    assert sig["observed"] > sig["null_p95"]
+    assert 2.0 < sig["ratio_over_null_mean"] < 3.0
+
+
+def test_r5_quality_better_while_control_worse(summary_r5):
+    """Quality and controllability are different axes: the 5k arm renders
+    better held-out speech (MCD-TF 14.91 vs r4's 15.48) it cannot steer
+    as well (0.604 vs 0.875)."""
+    r4 = json.loads((RESULTS / "convergence_r4.json").read_text())
+    assert summary_r5["final_with_vocoder"]["mcd_teacher_forced"] < \
+        r4["final_with_vocoder"]["mcd_teacher_forced"]
+    assert summary_r5["final_intensity_ft"]["pairwise_order_accuracy"] < \
+        r4["final_intensity"]["pairwise_order_accuracy"]
+    # and the r4 FT headline stays the production number
+    ft = json.loads((RESULTS / "convergence_r4_finetune_fs2.json").read_text())
+    assert round(ft["after"]["intensity"]["pairwise_order_accuracy"], 3) \
+        == 0.875
+
+
+def test_r5_cited_sibling_artifacts_exist():
+    for name in [
+        "convergence_r5_eval_final.json",
+        "convergence_r5_eval_final_ft.json",
+        "convergence_r5_intensity_final_ft.json",
+        "convergence_r5_intensity_final_ft.png",
+        "convergence_r5_eval_stage0.json",
+        "convergence_r5_intensity_stage0.json",
+        "convergence_r5_intensity_voc_stage0.json",
+        "convergence_r5_intensity_voc_stage1.json",
+    ]:
+        assert (RESULTS / name).exists(), name
