@@ -67,21 +67,31 @@ def main() -> int:
                     "per-fine-tune-leg through-vocoder intensity evals (a "
                     "reduced sweep keeps the per-stage cost bounded; the "
                     "final evals always use all --intensity-texts)")
-    # rank budget: set by the round-5 A/B
-    # (benchmarks/results/rank_steps_ab.json) — 5k steps at budget-scaled
-    # lr 2e-5 reaches mean strength-Spearman 0.527 (amused 0.42, all 16
-    # cells positive) vs 0.455 at 1k/1e-4, while 5k at the 1k-budget lr
-    # COLLAPSES to 0.037 (the RankNet mixup objective keeps improving
-    # while the true intensity axis degrades).  The reference budget is
-    # <=80k iters (rank_model/parameter.yaml:41-46).
-    ap.add_argument("--rank-steps", type=int, default=5000)
+    # rank budget: settled by TWO measurements pulling opposite ways.
+    # The isolated A/B (benchmarks/results/rank_steps_ab.json) says 5k
+    # steps at budget-scaled lr 2e-5 wins on ground-truth strength
+    # Spearman (0.527, all 16 cells positive, amused 0.42) vs 0.455 at
+    # 1k/1e-4, while 5k at the 1k lr COLLAPSES to 0.037.  But the full
+    # round-5 campaign run at the 5k arm
+    # (benchmarks/results/convergence_r5.json) measured the END-TO-END
+    # cost: the longer-trained rank model's prototypes have HALF the
+    # relative spread (0.097 at 2.35x the permutation-null mean, vs 0.190
+    # at 6.2x for the 1k arm in convergence_r4.json), and through-vocoder
+    # pairwise order accuracy degrades from r4's 0.722 base / 0.875
+    # fine-tuned to ~chance-adjacent (stage rows 0.44-0.58; FT final in
+    # convergence_r5.json) — the frozen extractor conditions FS2, so the
+    # rank budget changes the whole downstream system.  Strength-Spearman
+    # is the wrong selection metric for synthesis control; the DEFAULT
+    # returns to the 1k/1e-4 arm that produced the measured-best system,
+    # and the 5k arm stays available as the measured negative.
+    ap.add_argument("--rank-steps", type=int, default=1000)
     # the reference's rank lr (1e-6, rank_model/parameter.yaml:45) is tuned
     # for its ~multi-100k-step EmoV-DB schedule; at a short-step budget the
     # model never leaves init (valid CE pinned at ln 2).  The campaign
     # scales lr inversely with its budget — a benchmark-script choice, not
-    # a framework default change (1e-4 at 1k steps, 2e-5 at the 5k
-    # default; the A/B above measured the scaling as load-bearing).
-    ap.add_argument("--rank-lr", type=float, default=2e-5)
+    # a framework default change (1e-4 at the 1k default; the A/B above
+    # measured the scaling as load-bearing).
+    ap.add_argument("--rank-lr", type=float, default=1e-4)
     ap.add_argument("--fs2-stages", default="700,700,700")
     ap.add_argument("--voc-stages", default="1000,1000")
     ap.add_argument("--eval-f0-utts", type=int, default=16)
