@@ -290,3 +290,35 @@ def test_r5_cited_sibling_artifacts_exist():
         "convergence_r5_intensity_voc_stage1.json",
     ]:
         assert (RESULTS / name).exists(), name
+
+
+def test_r5_contrast_quality_axis():
+    """Round-4 verdict item 5: every contrast row carries the objective
+    quality column (teacher-forced MCD / DTW-MCD / F0 RMSE / VUV of
+    prototype-conditioned held-out synthesis), and at the measured
+    operating points on the low-spread r5 arm the lever is inert — all
+    quality deltas sit far inside the bootstrap CIs."""
+    ab = json.loads(
+        (RESULTS / "convergence_r5_contrast_ab.json").read_text())
+    rows = ab["contrast"]
+    assert set(rows) == {"0.5", "1", "2"}
+    for c, row in rows.items():
+        q = row["quality"]
+        for k in ("mcd_teacher_forced", "mcd_dtw_free_running",
+                  "f0_rmse_hz", "vuv_error_rate"):
+            assert q[k] is not None and q[k] > 0 or k == "vuv_error_rate"
+        assert row["quality_n_utterances"] == 48
+        assert (RESULTS / f"convergence_r5_quality_contrast_{c}.json"
+                ).exists()
+        assert (RESULTS / f"convergence_r5_intensity_contrast_{c}.json"
+                ).exists()
+    # inert lever on the compressed-prototype arm: quality flat to <0.1 dB
+    mcds = [rows[c]["quality"]["mcd_teacher_forced"]
+            for c in ("0.5", "1", "2")]
+    assert max(mcds) - min(mcds) < 0.1
+    # and each delta is inside the c=1 row's own DTW-MCD CI width
+    lo, hi = rows["1"]["quality_ci95"]["mcd_dtw_free_running"]
+    spread = max(r["quality"]["mcd_dtw_free_running"]
+                 for r in rows.values()) - min(
+        r["quality"]["mcd_dtw_free_running"] for r in rows.values())
+    assert spread < (hi - lo) / 10
