@@ -326,3 +326,19 @@ def test_r5_contrast_quality_axis():
                  for r in rows.values()) - min(
         r["quality"]["mcd_dtw_free_running"] for r in rows.values())
     assert spread < (hi - lo) / 10
+
+
+def test_headline_is_pinned_in_the_docs_themselves():
+    """Round-4 verdict weak item 7: one headline everywhere.  The guard
+    above pins the artifact values; this pins the DOCS to the same
+    number, so architecture.md cannot drift from README again."""
+    repo = RESULTS.parent.parent
+    headline = "0.875 [0.819, 0.931]"
+    for doc in ("README.md", "docs/architecture.md", "BENCH_NOTES.md"):
+        text = (repo / doc).read_text()
+        assert headline in text, f"{doc} must quote the pinned headline"
+    # and the artifact agrees with the quoted string
+    ft = json.loads((RESULTS / "convergence_r4_finetune_fs2.json").read_text())
+    acc = ft["after"]["intensity"]["pairwise_order_accuracy"]
+    lo, hi = ft["after"]["intensity"]["pairwise_order_accuracy_ci95"]
+    assert f"{acc:.3f} [{lo:.3f}, {hi:.3f}]" == headline
