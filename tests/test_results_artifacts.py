@@ -342,3 +342,22 @@ def test_headline_is_pinned_in_the_docs_themselves():
     acc = ft["after"]["intensity"]["pairwise_order_accuracy"]
     lo, hi = ft["after"]["intensity"]["pairwise_order_accuracy_ci95"]
     assert f"{acc:.3f} [{lo:.3f}, {hi:.3f}]" == headline
+
+
+def test_rank_ab_spread_predicts_downstream_control():
+    """The selection-metric lesson, pinned: the A/B artifact's per-arm
+    prototype-spread significance already ordered the arms the way the
+    end-to-end campaigns came out (1k arm 0.342 at 5.9x null vs 5k/2e-5
+    arm 0.097 at 2.35x) — spread, not strength-Spearman, predicts
+    downstream control, without training a downstream model."""
+    ab = json.loads((RESULTS / "rank_steps_ab.json").read_text())
+    arms = {(a["steps"], a["learning_rate"]): a["spread_significance"]
+            for a in ab["arms"]}
+    s1k = arms[(1000, 1e-4)]
+    s5k = arms[(5000, 2e-5)]
+    assert s1k["observed"] > 3 * s5k["observed"]
+    assert s1k["ratio_over_null_mean"] > 5.0
+    assert 2.0 < s5k["ratio_over_null_mean"] < 3.0
+    # both still beat their nulls — the 5k arm is weak, not absent
+    for s in (s1k, s5k):
+        assert s["observed"] > s["null_p95"]
